@@ -1,0 +1,131 @@
+"""Hyperaccurate algebraic circle fit (Al-Sharadqah & Chernov), batched.
+
+TPU-native re-design of the reference ``circleFit``
+(``nuslam/src/circle_fit_library.cpp:15-134``). The per-cluster math is
+identical; the implementation is batched over a padded cluster set and uses
+the 4x4 moment matrix ``M = Z^T Z`` instead of an SVD of the (n x 4) data
+matrix — ``M``'s eigendecomposition gives exactly the reference's ``V`` and
+``s^2``, and zero-padded rows contribute nothing to ``M``, so padding is
+free. Everything runs as one vmapped ``eigh`` chain on fixed shapes.
+
+Algorithm (per cluster of n points):
+
+1. centroid shift (ref :19-32), ``z_i = x_i^2 + y_i^2``, ``Z = [z, x, y, 1]``
+   (ref :37-47);
+2. constraint matrix ``H`` / analytic ``H^{-1}`` from ``z_bar`` (ref :50-61);
+3. if the smallest singular value of Z < 1e-12: ``A`` = corresponding right
+   singular vector (ref :78-80);
+4. else ``Y = V S V^T``, ``Q = Y H^{-1} Y``, ``A* `` = eigenvector of the
+   smallest *positive* eigenvalue of ``Q``, ``A = Y^{-1} A*`` (ref :81-104);
+5. center ``(a, b) = (-A1, -A2) / (2 A0)`` + centroid,
+   ``R^2 = (A1^2 + A2^2 - 4 A0 A3) / (4 A0^2)`` (ref :107-110).
+
+Degenerate clusters (n < 4) are invalid — the reference's economy SVD
+returns < 4 singular values there and it bails with the ``id = -1`` sentinel
+(ref :70-76).
+
+Golden fixtures from the reference tests (``nuslam/tests/circle_tests.cpp``):
+6-point set -> center (4.615482, 2.807354) radius 2.413788;
+4-point set -> center (0.4908357, -22.15212) radius 11.08989.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .clustering import Clusters
+
+# pin full-f32 matmuls on TPU (default demotes to bf16; the moment matrix
+# and Y-chain are too ill-conditioned for 8 mantissa bits)
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+class CircleFits(NamedTuple):
+    center: jnp.ndarray  # (C, 2) fitted centers (same frame as the points)
+    radius: jnp.ndarray  # (C,) fitted radii
+    valid: jnp.ndarray   # (C,) fit is well-defined (>= 4 points, finite)
+
+
+def _fit_one(pts, count, valid):
+    """Fit one padded cluster: pts (P, 2), count scalar."""
+    dt = pts.dtype
+    P = pts.shape[0]
+    mask = (jnp.arange(P) < count)
+    n = jnp.maximum(count, 1).astype(dt)
+    w = mask.astype(dt)
+
+    # centroid shift (ref :19-32)
+    cx = jnp.sum(pts[:, 0] * w) / n
+    cy = jnp.sum(pts[:, 1] * w) / n
+    x = (pts[:, 0] - cx) * w
+    y = (pts[:, 1] - cy) * w
+
+    z = x * x + y * y
+    z_bar = jnp.sum(z) / n
+
+    # moment matrix M = Z^T Z with Z = [z, x, y, 1] on valid rows (ref :37-47)
+    Z = jnp.stack([z, x, y, w], axis=-1)  # (P, 4); masked rows are all-zero
+    M = jnp.matmul(Z.T, Z, precision=PRECISION)
+
+    # H^{-1} (ref :55-61)
+    Hinv = jnp.array(
+        [[0.0, 0.0, 0.0, 0.5],
+         [0.0, 1.0, 0.0, 0.0],
+         [0.0, 0.0, 1.0, 0.0],
+         [0.5, 0.0, 0.0, 0.0]], dt)
+    Hinv = Hinv.at[3, 3].set(-2.0 * z_bar)
+
+    # eigendecomposition of M = V s^2 V^T  (same V as the SVD of Z)
+    lam, V = jnp.linalg.eigh(M)           # ascending
+    lam = jnp.maximum(lam, 0.0)
+    s = jnp.sqrt(lam)
+    sigma4 = s[0]
+
+    # branch a: rank-deficient -> null vector (ref :78-80)
+    A_null = V[:, 0]
+
+    # branch b: Y = V S V^T, Q = Y Hinv Y (ref :81-104)
+    Y = jnp.matmul(V * s[None, :], V.T, precision=PRECISION)
+    Q = jnp.matmul(jnp.matmul(Y, Hinv, precision=PRECISION), Y,
+                   precision=PRECISION)
+    eq, EV = jnp.linalg.eigh(Q)           # ascending
+    pos = eq > 0
+    # smallest positive eigenvalue; reference default index 0 if none positive
+    big = jnp.where(pos, eq, jnp.inf)
+    k = jnp.where(jnp.any(pos), jnp.argmin(big), 0)
+    Astar = EV[:, k]
+    # A = solve(Y, Astar); guard the solve for the untaken branch
+    Ysafe = Y + (sigma4 < 1e-12) * jnp.eye(4, dtype=dt)
+    A_gen = jnp.linalg.solve(Ysafe, Astar)
+
+    A = jnp.where(sigma4 < 1e-12, A_null, A_gen)
+
+    # circle parameters (ref :107-110)
+    A0 = jnp.where(jnp.abs(A[0]) < 1e-30, 1e-30, A[0])
+    a = -A[1] / (2.0 * A0)
+    b = -A[2] / (2.0 * A0)
+    R2 = (A[1] ** 2 + A[2] ** 2 - 4.0 * A[0] * A[3]) / (4.0 * A0 * A0)
+    radius = jnp.sqrt(jnp.maximum(R2, 0.0))
+
+    center = jnp.stack([a + cx, b + cy])
+    ok = valid & (count >= 4) & jnp.all(jnp.isfinite(center)) & jnp.isfinite(radius)
+    return center, radius, ok
+
+
+def fit_circles(clusters: Clusters) -> CircleFits:
+    """Batched circle fit over all cluster slots."""
+    center, radius, ok = jax.vmap(_fit_one)(
+        clusters.points, clusters.counts, clusters.valid)
+    return CircleFits(center=center, radius=radius, valid=ok)
+
+
+def fit_points(points) -> tuple:
+    """Convenience: fit a single unpadded (n, 2) point set; returns
+    ((cx, cy), radius). Used by the golden-vector tests."""
+    pts = jnp.asarray(points)
+    n = pts.shape[0]
+    center, radius, ok = _fit_one(pts, jnp.int32(n), jnp.bool_(True))
+    return center, radius

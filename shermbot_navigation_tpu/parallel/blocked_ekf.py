@@ -1,0 +1,410 @@
+"""Blocked, map-sharded EKF-SLAM for large landmark maps (BASELINE config 4).
+
+The covariance of a (3+2N)-dim SLAM state is stored as structured blocks
+instead of one dense matrix (SURVEY.md section 5 "long-context" row):
+
+- ``cov_rr`` (3,3)        robot block               — replicated
+- ``cov_rm`` (3,N,2)      robot-landmark strip      — sharded over 'map'
+- ``cov_mm`` (N,2,N,2)    landmark grid             — row-sharded over 'map'
+- ``mean_r`` (3,), ``mean_m`` (N,2)                 — replicated / sharded
+
+All three EKF phases then have near-perfect locality:
+
+- **predict** touches only ``cov_rr`` and rows 1:3 of the strip — O(N/s)
+  per shard, zero communication (the rank-2 structure from
+  ``models.ekf_slam.predict``);
+- **update** against landmark j needs one broadcast of the owner shard's
+  5-column gather (a psum of a (3,2)+(2,2) packet) and one
+  ``all_gather`` of the (2, 2N/s) ``H Sigma`` strips — tens of KB over ICI
+  for N=2000 — followed by local rank-2 outer products;
+- **associate** scores every local landmark block against the measurement
+  with closed-form 2x2 inverses, then resolves the reference's first-hit
+  semantics globally with a single ``pmin`` over (first-hit slot index).
+
+The reference analog is the dense O(D^3) single-core Armadillo math
+(slam_library.cpp:96-108, 263-282); there is no distributed analog to cite —
+this is the from-scratch design SURVEY section 2.5 calls for.
+
+All functions here are written *per shard* and wired with ``shard_map`` in
+:func:`make_sharded_step`; batch ('data' axis) is an outer vmap inside the
+shard, so one program serves (B, N) with B sharded over 'data' and N over
+'map'.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..models.ekf_slam import EKFConfig, _inv2x2, PRECISION
+from ..ops import se2
+
+
+class BlockedState(NamedTuple):
+    """Global-view blocked state (leading batch dim B; landmark dim N)."""
+
+    mean_r: jnp.ndarray   # (B, 3)  [theta, x, y]
+    mean_m: jnp.ndarray   # (B, N, 2)
+    cov_rr: jnp.ndarray   # (B, 3, 3)
+    cov_rm: jnp.ndarray   # (B, 3, N, 2)
+    cov_mm: jnp.ndarray   # (B, N, 2, N, 2) — rows sharded, cols full
+    n_seen: jnp.ndarray   # (B,) int32
+    seen: jnp.ndarray     # (B, N) bool — per-slot init mask (see EKFState.seen)
+
+
+def state_sharding(mesh: Mesh):
+    """PartitionSpecs: batch over 'data', landmark dim over 'map'."""
+    return BlockedState(
+        mean_r=P("data", None),
+        mean_m=P("data", "map", None),
+        cov_rr=P("data", None, None),
+        cov_rm=P("data", None, "map", None),
+        cov_mm=P("data", "map", None, None, None),
+        n_seen=P("data"),
+        seen=P("data", "map"),
+    )
+
+
+def init(config: EKFConfig, batch: int, robot_pose=None, dtype=jnp.float32
+         ) -> BlockedState:
+    N = config.num_landmarks
+    B = batch
+    mean_r = jnp.zeros((B, 3), dtype)
+    if robot_pose is not None:
+        mean_r = jnp.broadcast_to(jnp.asarray(robot_pose, dtype), (B, 3))
+    diag = jnp.eye(2, dtype=dtype) * jnp.asarray(config.init_cov, dtype)
+    cov_mm = jnp.zeros((B, N, 2, N, 2), dtype)
+    ii = jnp.arange(N)
+    cov_mm = cov_mm.at[:, ii, :, ii, :].set(diag)
+    return BlockedState(
+        mean_r=mean_r,
+        mean_m=jnp.zeros((B, N, 2), dtype),
+        cov_rr=jnp.zeros((B, 3, 3), dtype),
+        cov_rm=jnp.zeros((B, 3, N, 2), dtype),
+        cov_mm=cov_mm,
+        n_seen=jnp.zeros((B,), jnp.int32),
+        seen=jnp.zeros((B, N), bool),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-shard kernels (operate on ONE batch element; vmapped by the wrapper)
+# ---------------------------------------------------------------------------
+
+def _motion_delta(theta, twist):
+    from ..models.ekf_slam import _motion_delta as md
+    return md(theta, twist)
+
+
+def _predict_shard(config, st, twist, Q):
+    """Rank-2 strip predict, local to each shard (no communication)."""
+    theta = st.mean_r[0]
+    dq, b = _motion_delta(theta, twist)
+    mean_r = st.mean_r + dq
+
+    # row 0 of Sigma: robot part (3,) and strip part (Nl, 2)
+    r0_r = st.cov_rr[0, :]
+    r0_m = st.cov_rm[0]                       # (Nl, 2)
+    s00 = st.cov_rr[0, 0]
+
+    cov_rr = st.cov_rr
+    cov_rr = cov_rr.at[1:3, :].add(b[:, None] * r0_r[None, :])
+    cov_rr = cov_rr.at[:, 1:3].add(r0_r[:, None] * b[None, :])
+    cov_rr = cov_rr.at[1:3, 1:3].add(s00 * b[:, None] * b[None, :])
+    cov_rr = cov_rr + Q
+
+    cov_rm = st.cov_rm.at[1:3].add(b[:, None, None] * r0_m[None, :, :])
+    return st._replace(mean_r=mean_r, cov_rr=cov_rr, cov_rm=cov_rm)
+
+
+def _h5_coeffs(mean_r, mj, dtype):
+    """Measurement geometry + compressed Jacobian rows (replicated math)."""
+    dx = mj[0] - mean_r[1]
+    dy = mj[1] - mean_r[2]
+    d = jnp.maximum(dx * dx + dy * dy, jnp.asarray(1e-12, dtype))
+    sq = jnp.sqrt(d)
+    z = jnp.zeros_like(dx)
+    row0 = jnp.stack([z, -dx / sq, -dy / sq, dx / sq, dy / sq])
+    row1 = jnp.stack([-jnp.ones_like(dx), dy / d, -dx / d, -dy / d, dx / d])
+    H5 = jnp.stack([row0, row1])  # (2, 5)
+    z_hat = jnp.stack([sq, se2.normalize_angle(jnp.arctan2(dy, dx) - mean_r[0])])
+    return H5, z_hat
+
+
+def _update_shard(config, st, z, j, R, n_local):
+    """Kalman update against GLOBAL landmark slot ``j`` (traced int32).
+
+    Communication: two psums (owner broadcast packets) + one all_gather of
+    the (2, 2*Nl) HSigma strip over 'map'.
+    """
+    dtype = st.mean_r.dtype
+    shard = jax.lax.axis_index("map")
+    off = shard * n_local
+    j_loc = j - off
+    owns = (j_loc >= 0) & (j_loc < n_local)
+    j_safe = jnp.clip(j_loc, 0, n_local - 1)
+
+    # owner broadcast: landmark mean (2,), strip col (3,2), mm col block rows
+    mj = jax.lax.psum(
+        jnp.where(owns, 1.0, 0.0) * jax.lax.dynamic_index_in_dim(
+            st.mean_m, j_safe, axis=0, keepdims=False), "map")
+    H5, z_hat = _h5_coeffs(st.mean_r, mj, dtype)
+
+    # Sigma H^T, robot rows (3, 2): cols {0:3} = cov_rr, col {j} = cov_rm[:, j]
+    rm_j = jax.lax.psum(
+        jnp.where(owns, 1.0, 0.0) * jax.lax.dynamic_index_in_dim(
+            st.cov_rm, j_safe, axis=1, keepdims=False), "map")  # (3, 2)
+    SHt_r = jnp.matmul(jnp.concatenate([st.cov_rr, rm_j], axis=1), H5.T,
+                       precision=PRECISION)                      # (3, 2)
+
+    # Sigma H^T, local map rows (Nl, 2, 2):
+    # build (Nl, 2, 5): [cov_mr (Nl,2,3), cov_mm[:, :, j, :] (Nl,2,2)]
+    cov_mr = jnp.transpose(st.cov_rm, (1, 2, 0))          # (Nl, 2, 3)
+    mm_colj = jax.lax.dynamic_index_in_dim(
+        jnp.transpose(st.cov_mm, (2, 0, 1, 3)), j, axis=0,
+        keepdims=False)                                    # (Nl, 2, 2)
+    cols5_m = jnp.concatenate([cov_mr, mm_colj], axis=-1)  # (Nl, 2, 5)
+    SHt_m = jnp.einsum("npk,qk->npq", cols5_m, H5,
+                       precision=PRECISION)                      # (Nl, 2, 2)
+
+    # psi = H (Sigma H^T) + R: rows {0:3} + row {j}
+    SHt_j = jax.lax.psum(
+        jnp.where(owns, 1.0, 0.0) * jax.lax.dynamic_index_in_dim(
+            SHt_m, j_safe, axis=0, keepdims=False), "map")  # (2, 2)
+    psi = jnp.matmul(H5, jnp.concatenate([SHt_r, SHt_j], axis=0),
+                     precision=PRECISION) + R
+    psi_inv = _inv2x2(psi)
+
+    K_r = jnp.matmul(SHt_r, psi_inv, precision=PRECISION)   # (3, 2)
+    K_m = jnp.einsum("npq,qr->npr", SHt_m, psi_inv,
+                     precision=PRECISION)                    # (Nl, 2, 2)
+
+    dz = z - z_hat
+    if config.wrap_innovation:
+        dz = dz.at[1].set(se2.normalize_angle(dz[1]))
+
+    mean_r = st.mean_r + jnp.matmul(K_r, dz, precision=PRECISION)
+    mean_r = mean_r.at[0].set(se2.normalize_angle(mean_r[0]))
+    mean_m = st.mean_m + jnp.einsum("npq,q->np", K_m, dz,
+                                    precision=PRECISION)
+
+    # covariance: Sigma -= K (H Sigma); HSigma = (Sigma H^T)^T.
+    # The full Sigma H^T map strip is needed on every shard for the column
+    # side of the rank-2 update: one all_gather of (Nl, 2, 2) -> (N, 2, 2)
+    # (~N*16 bytes — tens of KB at N=2000, rides ICI).
+    HS_m = jax.lax.all_gather(SHt_m, "map", axis=0, tiled=True)  # (N, 2, 2)
+
+    cov_rr = st.cov_rr - jnp.matmul(K_r, SHt_r.T, precision=PRECISION)
+    cov_rm = st.cov_rm - jnp.einsum("iq,npq->inp", K_r, SHt_m,
+                                    precision=PRECISION)
+    cov_mm = st.cov_mm - jnp.einsum("npq,mrq->npmr", K_m, HS_m,
+                                    precision=PRECISION)
+
+    if config.symmetrize:
+        cov_rr = 0.5 * (cov_rr + cov_rr.T)
+    return st._replace(mean_r=mean_r, mean_m=mean_m, cov_rr=cov_rr,
+                       cov_rm=cov_rm, cov_mm=cov_mm)
+
+
+def _init_landmark_shard(config, st, z, j, R, n_local):
+    """Analytic first-observation init of global slot j (writes the owner's
+    mean/cov blocks; the cross-strip to the robot is global)."""
+    dtype = st.mean_r.dtype
+    shard = jax.lax.axis_index("map")
+    off = shard * n_local
+    j_loc = j - off
+    owns = (j_loc >= 0) & (j_loc < n_local)
+    j_safe = jnp.clip(j_loc, 0, n_local - 1)
+
+    th, x, y = st.mean_r[0], st.mean_r[1], st.mean_r[2]
+    a = z[1] + th
+    r = z[0]
+    sa, ca = jnp.sin(a), jnp.cos(a)
+    m = jnp.stack([x + r * ca, y + r * sa])
+
+    Gx = jnp.stack([jnp.stack([-r * sa, jnp.ones_like(r), jnp.zeros_like(r)]),
+                    jnp.stack([r * ca, jnp.zeros_like(r), jnp.ones_like(r)])])
+    Gz = jnp.stack([jnp.stack([ca, -r * sa]), jnp.stack([sa, r * ca])])
+
+    # mean
+    mean_m = jnp.where(
+        owns,
+        jax.lax.dynamic_update_index_in_dim(st.mean_m, m, j_safe, axis=0),
+        st.mean_m)
+
+    # cross strip to robot: Sigma_{m_j, r} = Gx Sigma_rr  -> cov_rm[:, j] = (Gx Srr)^T
+    cross_r = jnp.matmul(Gx, st.cov_rr, precision=PRECISION).T    # (3, 2)
+    cov_rm = jnp.where(
+        owns,
+        jax.lax.dynamic_update_index_in_dim(st.cov_rm, cross_r, j_safe, axis=1),
+        st.cov_rm)
+
+    # cross to other landmarks: Sigma_{m_j, m_k} = Gx Sigma_{r, m_k}
+    # rows (owner only): (2, N, 2) = Gx @ cov_rm_global. cov_rm is sharded:
+    # each shard contributes its cols — but the ROW lives on the owner.
+    # We need cov_rm (3, N, 2) globally on the owner: all_gather the strip.
+    rm_full = jax.lax.all_gather(st.cov_rm, "map", axis=1, tiled=True)  # (3,N,2)
+    cross_m = jnp.einsum("pi,imq->pmq", Gx, rm_full,
+                         precision=PRECISION)                      # (2, N, 2)
+    # write owner's row block of cov_mm
+    cov_mm = jnp.where(
+        owns,
+        jax.lax.dynamic_update_slice_in_dim(
+            st.cov_mm, cross_m[None], j_safe, axis=0),
+        st.cov_mm)
+    # write the column block on EVERY shard: cov_mm[:, :, j, :] = cross_m^T local
+    # local rows' part of the column = (local cols of cross_m)^T
+    n_l = st.mean_m.shape[0]
+    local_cols = jax.lax.dynamic_slice_in_dim(
+        cross_m, shard * n_l, n_l, axis=1)                        # (2, Nl, 2)
+    col_block = jnp.transpose(local_cols, (1, 2, 0))              # (Nl, 2, 2)
+    cov_mm = jnp.transpose(
+        jax.lax.dynamic_update_index_in_dim(
+            jnp.transpose(cov_mm, (2, 0, 1, 3)), col_block, j, axis=0),
+        (1, 2, 0, 3))
+
+    # own 2x2 block: Gx Srr Gx^T + Gz R Gz^T (overwrites the prior diag)
+    block = (jnp.matmul(jnp.matmul(Gx, st.cov_rr, precision=PRECISION),
+                        Gx.T, precision=PRECISION)
+             + jnp.matmul(jnp.matmul(Gz, R, precision=PRECISION), Gz.T,
+                          precision=PRECISION))
+    cov_mm = jnp.where(
+        owns,
+        jax.lax.dynamic_update_slice(
+            cov_mm, block[None, :, None, :],
+            (j_safe, jnp.int32(0), j, jnp.int32(0))),
+        cov_mm)
+    return st._replace(mean_m=mean_m, cov_rm=cov_rm, cov_mm=cov_mm)
+
+
+def _associate_shard(config, st, z, R, n_local):
+    """Blockwise Mahalanobis association with global first-hit resolution.
+
+    Each shard scores its local landmark blocks (O(Nl)); the reference's
+    first-hit decision (SURVEY section 2.4) is recovered with one pmin over
+    the global index of the first sub-gate hit.
+    """
+    dtype = st.mean_r.dtype
+    shard = jax.lax.axis_index("map")
+    off = shard * n_local
+
+    m = st.mean_m                                    # (Nl, 2)
+    dx = m[:, 0] - st.mean_r[1]
+    dy = m[:, 1] - st.mean_r[2]
+    d = jnp.maximum(dx * dx + dy * dy, jnp.asarray(1e-12, dtype))
+    sq = jnp.sqrt(d)
+    zeros = jnp.zeros_like(dx)
+    H5 = jnp.stack([
+        jnp.stack([zeros, -dx / sq, -dy / sq, dx / sq, dy / sq], axis=-1),
+        jnp.stack([-jnp.ones_like(dx), dy / d, -dx / d, -dy / d, dx / d],
+                  axis=-1)], axis=-2)               # (Nl, 2, 5)
+
+    Srr = st.cov_rr                                  # (3,3) replicated
+    Srm = jnp.transpose(st.cov_rm, (1, 0, 2))        # (Nl, 3, 2)
+    ii = jnp.arange(n_local)
+    Smm = jnp.transpose(st.cov_mm, (2, 0, 1, 3))[off + ii, ii]   # (Nl, 2, 2)
+
+    top = jnp.concatenate(
+        [jnp.broadcast_to(Srr, (n_local, 3, 3)), Srm], axis=2)
+    bot = jnp.concatenate([jnp.transpose(Srm, (0, 2, 1)), Smm], axis=2)
+    S5 = jnp.concatenate([top, bot], axis=1)         # (Nl, 5, 5)
+
+    psi = jnp.einsum("nij,njk,nlk->nil", H5, S5, H5,
+                     precision=PRECISION) + R
+    z_hat = jnp.stack(
+        [sq, se2.normalize_angle(jnp.arctan2(dy, dx) - st.mean_r[0])],
+        axis=-1)
+    dz = z[None, :] - z_hat
+    if config.wrap_innovation:
+        dz = dz.at[:, 1].set(se2.normalize_angle(dz[:, 1]))
+    dist = jnp.einsum("ni,nij,nj->n", dz, _inv2x2(psi), dz,
+                      precision=PRECISION)
+
+    gidx = off + jnp.arange(n_local)
+    seen = gidx < st.n_seen
+    dist = jnp.where(seen, dist, jnp.inf)
+
+    # global first-hit: smallest global index with dist < new_gate
+    hit_idx = jnp.where(dist < config.new_gate, gidx, jnp.iinfo(jnp.int32).max)
+    first = jax.lax.pmin(jnp.min(hit_idx), "map")
+    any_hit = first < jnp.iinfo(jnp.int32).max
+    first_safe = jnp.where(any_hit, first, 0)
+    # distance at the first-hit slot (owner contributes via psum)
+    f_loc = first_safe - off
+    f_owns = (f_loc >= 0) & (f_loc < n_local)
+    d_first = jax.lax.psum(
+        jnp.where(f_owns & any_hit,
+                  jnp.nan_to_num(dist[jnp.clip(f_loc, 0, n_local - 1)],
+                                 posinf=0.0),
+                  0.0), "map")
+    return any_hit, first_safe, d_first
+
+
+# ---------------------------------------------------------------------------
+# shard_map wiring
+# ---------------------------------------------------------------------------
+
+def make_sharded_step(config: EKFConfig, mesh: Mesh, batch: int,
+                      max_meas: int):
+    """Build the jitted, mesh-sharded known-association SLAM tick.
+
+    Returns ``step(state, twist (B,3), zs (B,M,2), valid (B,M),
+    ids (B,M), Q, R) -> state`` with the state sharded per
+    :func:`state_sharding`. Measurements are processed sequentially
+    (reference semantics) via ``lax.scan`` inside the shard.
+    """
+    N = config.num_landmarks
+    n_map = mesh.shape["map"]
+    if N % n_map:
+        raise ValueError(f"num_landmarks {N} not divisible by map={n_map}")
+    n_local = N // n_map
+
+    specs = state_sharding(mesh)
+    in_specs = (specs, P("data", None), P("data", None, None),
+                P("data", None), P("data", None), P(None, None), P(None, None))
+
+    def shard_fn(st, twist, zs, valid, ids, Q, R):
+        # st leaves have local shapes; vmap over the local batch
+        def one(st1, tw1, zs1, va1, id1):
+            st1 = _predict_shard(config, st1, tw1, Q)
+
+            def body(carry, inp):
+                s, = carry
+                z, v, j = inp
+                # owner-broadcast of the slot's seen bit (psum of a bool)
+                shard = jax.lax.axis_index("map")
+                j_loc = j - shard * n_local
+                owns = (j_loc >= 0) & (j_loc < n_local)
+                seen = jax.lax.psum(
+                    jnp.where(owns,
+                              s.seen[jnp.clip(j_loc, 0, n_local - 1)]
+                              .astype(jnp.int32), 0), "map") > 0
+                is_new = v & ~seen
+                s_init = _init_landmark_shard(config, s, z, j, R, n_local)
+                seen_upd = jnp.where(
+                    owns,
+                    s.seen.at[jnp.clip(j_loc, 0, n_local - 1)].set(True),
+                    s.seen)
+                s_init = s_init._replace(n_seen=s.n_seen + 1, seen=seen_upd)
+                pre = jax.tree_util.tree_map(
+                    lambda a_, b_: jnp.where(is_new, a_, b_), s_init, s)
+                upd = _update_shard(config, pre, z, j, R, n_local)
+                do_update = v & seen
+                s = jax.tree_util.tree_map(
+                    lambda a_, b_: jnp.where(do_update, a_, b_), upd, pre)
+                return (s,), None
+
+            (st1,), _ = jax.lax.scan(body, (st1,), (zs1, va1, id1))
+            return st1
+
+        return jax.vmap(one)(st, twist, zs, valid, ids)
+
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs, out_specs=specs,
+                   check_rep=False)
+    return jax.jit(fn)

@@ -1,0 +1,57 @@
+"""Multi-chip dry run: compile + execute the full sharded training step on an
+n-device mesh with tiny shapes (driver contract: ``dryrun_multichip``)."""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding
+
+from ..models.ekf_slam import EKFConfig
+from . import blocked_ekf, mesh as mesh_lib
+
+
+def run(n_devices: int) -> None:
+    devices = jax.devices()[:n_devices]
+    if len(devices) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, have {len(devices)} "
+            f"(set XLA_FLAGS=--xla_force_host_platform_device_count={n_devices})")
+
+    data = 2 if n_devices % 2 == 0 and n_devices > 1 else 1
+    m = mesh_lib.make_mesh(devices, data=data)
+    n_map = m.shape["map"]
+
+    B = 2 * data            # batch sharded over 'data'
+    N = 8 * n_map           # landmarks sharded over 'map'
+    M = 3                   # measurements per tick
+    cfg = EKFConfig(num_landmarks=N)
+
+    step = blocked_ekf.make_sharded_step(cfg, m, B, M)
+    state = blocked_ekf.init(cfg, B)
+    # place the state according to its shardings
+    specs = blocked_ekf.state_sharding(m)
+    state = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(m, s)), state, specs)
+
+    twist = jnp.broadcast_to(jnp.array([0.02, 0.05, 0.0], jnp.float32), (B, 3))
+    zs = jnp.broadcast_to(
+        jnp.array([[0.7, 0.1], [0.8, -0.4], [0.6, 1.0]], jnp.float32),
+        (B, M, 2))
+    valid = jnp.ones((B, M), bool)
+    ids = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (B, M))
+    Q = jnp.diag(jnp.array([0.1, 0.1, 0.1], jnp.float32))
+    R = jnp.diag(jnp.array([0.001, 0.001], jnp.float32))
+
+    out = step(state, twist, zs, valid, ids, Q, R)
+    jax.block_until_ready(out)
+    assert int(out.n_seen[0]) == M, f"expected {M} landmarks, {out.n_seen}"
+    assert bool(jnp.isfinite(out.mean_r).all())
+
+    # second step: updates against now-seen landmarks (exercises the
+    # owner-broadcast + all_gather update path, not just init)
+    out2 = step(out, twist, zs, valid, ids, Q, R)
+    jax.block_until_ready(out2)
+    assert bool(jnp.isfinite(out2.mean_r).all())
+    assert bool(jnp.isfinite(out2.cov_rr).all())
+    print(f"dryrun_multichip OK: mesh={dict(m.shape)} B={B} N={N} M={M}")

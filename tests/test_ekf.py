@@ -1,0 +1,256 @@
+"""EKF-SLAM core tests.
+
+The reference has NO tests for its EKF (SURVEY.md section 4), so the pyramid
+here is: (a) the structure-exploiting O(D^2) covariance path vs a literal
+dense O(D^3) oracle that mirrors the reference math line-for-line;
+(b) association first-hit semantics (SURVEY.md section 2.4); (c) filter
+consistency (landmark converges, covariance contracts) on a simulated loop.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shermbot_navigation_tpu.models import ekf_slam as ekf
+from shermbot_navigation_tpu.ops import se2
+
+CFG64 = ekf.EKFConfig(num_landmarks=6, analytic_init=False, symmetrize=False)
+Q3 = jnp.diag(jnp.array([0.1, 0.1, 0.1], jnp.float64))   # ref slam_params.yaml
+R2 = jnp.diag(jnp.array([0.001, 0.001], jnp.float64))
+
+
+def mkstate(cfg=CFG64, pose=(0.1, 0.5, -0.2), n_seen=3, seed=0,
+            dtype=jnp.float64):
+    """A state with `n_seen` initialized landmarks and a realistic covariance."""
+    rng = np.random.default_rng(seed)
+    st = ekf.init(cfg, jnp.array(pose, dtype), dtype=dtype)
+    D = cfg.dim
+    mean = np.array(st.mean)
+    for j in range(n_seen):
+        mean[3 + 2 * j: 5 + 2 * j] = rng.uniform(-2, 2, 2)
+    # realistic SPD covariance on the seen block, huge prior elsewhere
+    k = 3 + 2 * n_seen
+    Amat = rng.normal(size=(k, k)) * 0.05
+    spd = Amat @ Amat.T + 0.01 * np.eye(k)
+    cov = np.array(st.cov)
+    cov[:k, :k] = spd
+    return ekf.EKFState(
+        mean=jnp.asarray(mean, dtype), cov=jnp.asarray(cov, dtype),
+        n_seen=jnp.int32(n_seen),
+        seen=jnp.arange(cfg.num_landmarks) < n_seen)
+
+
+class TestPredict:
+    def test_sparse_matches_dense(self):
+        st = mkstate()
+        tw = jnp.array([0.05, 0.1, 0.0], jnp.float64)
+        a = ekf.predict(CFG64, st, tw, Q3)
+        b = ekf.predict_dense(CFG64, st, tw, Q3)
+        np.testing.assert_allclose(a.mean, b.mean, atol=1e-12)
+        np.testing.assert_allclose(a.cov, b.cov, rtol=1e-12, atol=1e-9)
+
+    def test_sparse_matches_dense_zero_omega(self):
+        st = mkstate()
+        tw = jnp.array([0.0, 0.1, 0.0], jnp.float64)
+        a = ekf.predict(CFG64, st, tw, Q3)
+        b = ekf.predict_dense(CFG64, st, tw, Q3)
+        np.testing.assert_allclose(a.cov, b.cov, rtol=1e-12, atol=1e-9)
+        # straight-line motion model: dx = v cos(th), dy = v sin(th)
+        th = float(st.mean[0])
+        np.testing.assert_allclose(
+            a.mean[1] - st.mean[1], 0.1 * np.cos(th), atol=1e-12)
+
+    def test_motion_continuity_near_zero_omega(self):
+        st = mkstate()
+        a = ekf.predict(CFG64, st, jnp.array([1e-9, 0.1, 0.0], jnp.float64), Q3)
+        b = ekf.predict(CFG64, st, jnp.array([0.0, 0.1, 0.0], jnp.float64), Q3)
+        np.testing.assert_allclose(a.mean, b.mean, atol=1e-9)
+
+    def test_arc_model_matches_reference_formula(self):
+        # ref predictEstimate (slam_library.cpp:84-88):
+        # dx = -(v/w) sin(th) + (v/w) sin(th+w), dy = (v/w) cos(th) - (v/w) cos(th+w)
+        st = mkstate()
+        th = float(st.mean[0])
+        v, w = 0.13, 0.4
+        a = ekf.predict(CFG64, st, jnp.array([w, v, 0.0], jnp.float64), Q3)
+        np.testing.assert_allclose(float(a.mean[0] - st.mean[0]), w, atol=1e-12)
+        np.testing.assert_allclose(
+            float(a.mean[1] - st.mean[1]),
+            -(v / w) * np.sin(th) + (v / w) * np.sin(th + w), atol=1e-12)
+        np.testing.assert_allclose(
+            float(a.mean[2] - st.mean[2]),
+            (v / w) * np.cos(th) - (v / w) * np.cos(th + w), atol=1e-12)
+
+
+class TestUpdate:
+    def test_sparse_matches_dense(self):
+        st = mkstate()
+        for j in range(3):
+            z = ekf.predicted_measurement(st, jnp.int32(j))
+            z = z + jnp.array([0.01, -0.02], jnp.float64)
+            a = ekf.update(CFG64, st, z, jnp.int32(j), R2)
+            b = ekf.update_dense(CFG64, st, z, jnp.int32(j), R2)
+            np.testing.assert_allclose(a.mean, b.mean, atol=1e-10)
+            np.testing.assert_allclose(a.cov, b.cov, rtol=1e-9, atol=1e-9)
+
+    def test_perfect_measurement_no_mean_shift(self):
+        st = mkstate()
+        z = ekf.predicted_measurement(st, jnp.int32(1))
+        a = ekf.update(CFG64, st, z, jnp.int32(1), R2)
+        np.testing.assert_allclose(a.mean, st.mean, atol=1e-9)
+
+    def test_covariance_contracts(self):
+        st = mkstate()
+        z = ekf.predicted_measurement(st, jnp.int32(0))
+        a = ekf.update(CFG64, st, z, jnp.int32(0), R2)
+        k = 3 + 2 * 3
+        assert float(jnp.trace(a.cov[:k, :k])) < float(jnp.trace(st.cov[:k, :k]))
+
+    def test_theta_normalized(self):
+        st = mkstate(pose=(3.1, 0.0, 0.0))
+        z = ekf.predicted_measurement(st, jnp.int32(0)) + jnp.array(
+            [0.0, 0.5], jnp.float64)
+        a = ekf.update(CFG64, st, z, jnp.int32(0), R2)
+        assert -np.pi <= float(a.mean[0]) <= np.pi
+
+
+class TestAnalyticInit:
+    def test_matches_infinite_prior_limit(self):
+        """Analytic first-observation covariance == INT_MAX-prior + update,
+        in float64 where the huge prior is still numerically survivable."""
+        cfg_ref = ekf.EKFConfig(num_landmarks=6, analytic_init=False,
+                                symmetrize=False, init_cov=1e10)
+        cfg_ana = ekf.EKFConfig(num_landmarks=6, analytic_init=True,
+                                symmetrize=False, init_cov=1e10)
+        st = mkstate(cfg_ref, n_seen=2)
+        z = jnp.array([0.8, 0.3], jnp.float64)
+        j = jnp.int32(2)
+
+        # reference path: write mean, run update against the huge prior
+        ref = ekf.init_landmark(cfg_ref, st, z, j)
+        ref = ref._replace(n_seen=jnp.int32(3), seen=ref.seen.at[2].set(True))
+        ref = ekf.update(cfg_ref, ref, z, j, R2)
+
+        # analytic path: write mean + analytic covariance (the measurement is
+        # already folded in — no extra update, see step_measurement)
+        ana = ekf.init_landmark(cfg_ana, st, z, j)
+        ana = ana._replace(cov=ekf._analytic_init_cov(ana, z, j, R2),
+                           n_seen=jnp.int32(3), seen=ana.seen.at[2].set(True))
+
+        np.testing.assert_allclose(ana.mean, ref.mean, atol=1e-6)
+        k = 3 + 2 * 3
+        np.testing.assert_allclose(ana.cov[:k, :k], ref.cov[:k, :k],
+                                   rtol=1e-4, atol=1e-6)
+
+
+class TestAssociate:
+    def test_empty_map_new(self):
+        st = mkstate(n_seen=0)
+        res = ekf.associate(CFG64, st, jnp.array([1.0, 0.0], jnp.float64), R2)
+        assert int(res.outcome) == ekf.ASSOC_NEW
+        assert int(res.index) == 0
+
+    def test_match_existing(self):
+        st = mkstate(n_seen=3)
+        z = ekf.predicted_measurement(st, jnp.int32(1))
+        res = ekf.associate(CFG64, st, z, R2)
+        assert int(res.outcome) == ekf.ASSOC_MATCH
+        assert int(res.index) == 1
+
+    def test_gray_area_skips(self):
+        st = mkstate(n_seen=3)
+        # perturb so the distance lands between the gates for landmark 0
+        z = ekf.predicted_measurement(st, jnp.int32(0)) + jnp.array(
+            [0.05, 0.0], jnp.float64)
+        res = ekf.associate(CFG64, st, z, R2)
+        d0 = float(res.distances[0])
+        if 0.01 < d0 < 60.0:
+            assert int(res.outcome) == ekf.ASSOC_SKIP
+
+    def test_far_measurement_new(self):
+        st = mkstate(n_seen=3)
+        z = jnp.array([50.0, 1.0], jnp.float64)  # far from everything
+        res = ekf.associate(CFG64, st, z, R2)
+        assert int(res.outcome) == ekf.ASSOC_NEW
+        assert int(res.index) == 3
+
+    def test_first_hit_order(self):
+        """If landmark 0 is in the gray zone, the outcome is SKIP even when a
+        later landmark would match — reference first-hit semantics."""
+        cfg = CFG64
+        st = mkstate(n_seen=3)
+        # craft: landmarks 0 and 1 at nearly the same place
+        mean = np.asarray(st.mean).copy()
+        mean[5:7] = mean[3:5] + np.array([0.05, 0.0])
+        st = st._replace(mean=jnp.asarray(mean))
+        z = ekf.predicted_measurement(st, jnp.int32(1))  # exact for lm 1
+        res = ekf.associate(cfg, st, z, R2)
+        d = np.asarray(res.distances)
+        if 0.01 < d[0] < 60.0:
+            assert int(res.outcome) == ekf.ASSOC_SKIP  # lm0 hit first
+        else:
+            assert int(res.outcome) in (ekf.ASSOC_MATCH, ekf.ASSOC_SKIP)
+
+    def test_overflow(self):
+        cfg = ekf.EKFConfig(num_landmarks=3, analytic_init=False,
+                            symmetrize=False)
+        st = mkstate(cfg, n_seen=3)
+        z = jnp.array([50.0, 1.0], jnp.float64)
+        res = ekf.associate(cfg, st, z, R2)
+        assert int(res.outcome) == ekf.ASSOC_OVERFLOW
+
+
+class TestStep:
+    def test_full_tick_runs_and_is_finite(self):
+        cfg = ekf.EKFConfig(num_landmarks=6)
+        st = ekf.init(cfg, jnp.zeros(3, jnp.float64), dtype=jnp.float64)
+        zs = jnp.array([[0.7, 0.5], [0.9, -1.0], [0.0, 0.0]], jnp.float64)
+        valid = jnp.array([True, True, False])
+        tw = jnp.array([0.02, 0.05, 0.0], jnp.float64)
+        step = jax.jit(lambda s: ekf.step(cfg, s, tw, zs, valid, Q3, R2))
+        st2 = step(st)
+        assert int(st2.n_seen) == 2
+        assert np.isfinite(np.asarray(st2.mean)).all()
+        k = 3 + 2 * 2
+        assert np.isfinite(np.asarray(st2.cov[:k, :k])).all()
+
+    def test_landmark_convergence_known_assoc(self):
+        """Drive a circle past two landmarks with noiseless measurements:
+        estimated landmarks must converge to the truth."""
+        cfg = ekf.EKFConfig(num_landmarks=4)
+        dt64 = jnp.float64
+        st = ekf.init(cfg, jnp.zeros(3, dt64), dtype=dt64)
+        lms = np.array([[1.0, 0.3], [0.4, -0.6]])
+        qs = jnp.diag(jnp.array([1e-4, 1e-4, 1e-4], dt64))
+        rs = jnp.diag(jnp.array([1e-4, 1e-4], dt64))
+
+        step = jax.jit(
+            lambda s, tw, zs, ids: ekf.known_association_step(
+                cfg, s, tw, zs, jnp.array([True, True]), ids, qs, rs))
+
+        pose = np.zeros(3)  # [th, x, y]
+        for t in range(200):
+            w, v = 0.02, 0.01
+            th = pose[0]
+            pose = pose + np.array(
+                [w, -(v / w) * np.sin(th) + (v / w) * np.sin(th + w),
+                 (v / w) * np.cos(th) - (v / w) * np.cos(th + w)])
+            zs, ids = [], []
+            for j, lm in enumerate(lms):
+                dx, dy = lm[0] - pose[1], lm[1] - pose[2]
+                rng_ = np.hypot(dx, dy)
+                brg = np.arctan2(dy, dx) - pose[0]
+                brg = np.arctan2(np.sin(brg), np.cos(brg))
+                zs.append([rng_, brg])
+                ids.append(j)
+            st = step(st, jnp.array([w, v, 0.0], dt64),
+                      jnp.array(zs, dt64), jnp.array(ids, jnp.int32))
+
+        est = np.asarray(st.mean[3:7]).reshape(2, 2)
+        np.testing.assert_allclose(est, lms, atol=2e-2)
+        # robot pose close to truth (heading compared with wrapping — the
+        # filter normalizes theta into (-pi, pi], the sim accumulates raw)
+        np.testing.assert_allclose(np.asarray(st.mean[1:3]), pose[1:], atol=2e-2)
+        dth = float(st.mean[0]) - pose[0]
+        assert abs(np.arctan2(np.sin(dth), np.cos(dth))) < 2e-2
