@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Headline benchmark: full-pipeline SLAM throughput per TPU chip vs the
+measured C++ reference baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+The workload is BASELINE.json config 1 (5-landmark loop, known association):
+each tick = 5 tube-world sim substeps (noise, collision, kinematics,
+landmark sensor) + odometry + EKF predict + 5 sequential Kalman updates.
+The TPU engine runs B independent worlds in lockstep (one jitted scan);
+the baseline is the faithful C++ port of the reference's dense math
+(native/baseline, -O2, measured fresh on this machine — the reference
+publishes no numbers, BASELINE.md).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_DIR = os.path.join(REPO, "native", "baseline")
+BASELINE_BIN = os.path.join(BASELINE_DIR, "baseline")
+
+SCENARIO = "loop5_known"
+BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
+
+
+def measure_cpp():
+    if not os.path.exists(BASELINE_BIN):
+        subprocess.run(["make"], cwd=BASELINE_DIR, check=True,
+                       capture_output=True)
+    out = subprocess.run(
+        [BASELINE_BIN, "--scenario", SCENARIO, "--deterministic",
+         "--repeat", "5"],
+        check=True, capture_output=True, text=True)
+    return json.loads(out.stdout.strip())
+
+
+def measure_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from shermbot_navigation_tpu.pipeline import driver, metrics
+    from shermbot_navigation_tpu.pipeline.config import get_scenario
+
+    scn = get_scenario(SCENARIO)
+
+    def timed(key):
+        t0 = time.time()
+        o = driver.run_scenario_batch(scn, jax.random.split(key, BATCH))
+        # force full materialization on host (block_until_ready alone has
+        # proven unreliable through the axon tunnel)
+        float(jnp.sum(o.slam_pose))
+        return time.time() - t0, o
+
+    timed(jax.random.PRNGKey(0))                  # compile + warmup
+    best = float("inf")
+    outs = None
+    for i in range(1, 4):
+        dt, o = timed(jax.random.PRNGKey(i))
+        if dt < best:
+            best, outs = dt, o
+    ticks = BATCH * scn.steps / best
+    ate = float(metrics.ate(outs.slam_pose[..., 1:], outs.true_pose[..., 1:]))
+    return ticks, ate, best
+
+
+def main():
+    cpp = measure_cpp()
+    tpu_ticks, tpu_ate, secs = measure_tpu()
+    result = {
+        "metric": "slam_pipeline_ticks_per_sec_per_chip",
+        "value": round(tpu_ticks, 1),
+        "unit": "ticks/s",
+        "vs_baseline": round(tpu_ticks / cpp["ticks_per_sec"], 2),
+        "baseline_ticks_per_sec": cpp["ticks_per_sec"],
+        "batch": BATCH,
+        "scenario": SCENARIO,
+        "tpu_ate_m": round(tpu_ate, 6),
+        "cpp_ate_m": cpp["ate"],
+        "seconds_per_batch_run": round(secs, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,505 @@
+// Faithful CPU port of the reference SLAM math (sziselman/Shermbot-Navigation)
+// used as the measured performance/trajectory baseline (BASELINE.md: "the C++
+// baseline must be measured, not quoted"). This is an independent
+// reimplementation of the same algorithms — dense O(D^3) covariance algebra
+// with per-landmark 2xD Jacobians, exactly as the reference computes them
+// (slam_library.cpp) — NOT a copy of the reference sources, and NOT the
+// TPU engine (which replaces the dense products with rank-2 updates).
+//
+// Pipeline per tick mirrors shermbot_navigation_tpu/pipeline/driver.py:
+//   5 sim substeps (twist noise -> collision -> wheels -> slip-true update)
+//   -> odometry from commanded joints -> EKF predict -> sequential updates.
+// Scenario constants are kept in sync with pipeline/config.py by hand.
+//
+// Determinism: with --deterministic all noise draws collapse to their means
+// (slip eta = (smin+smax)/2, twist noise = 0), which matches the JAX engine
+// bit-for-bit at the algorithm level so trajectories can be diffed.
+
+#include <cmath>
+#include <cstdio>
+#include <cstring>
+#include <chrono>
+#include <random>
+#include <string>
+#include <vector>
+
+namespace {
+
+constexpr double kPi = 3.14159265358979323846;
+
+double wrap_angle(double a) { return std::atan2(std::sin(a), std::cos(a)); }
+
+// ----------------------------------------------------------------------
+// Minimal dense matrix helpers (row-major)
+// ----------------------------------------------------------------------
+struct Mat {
+  int r = 0, c = 0;
+  std::vector<double> v;
+  Mat() = default;
+  Mat(int r_, int c_) : r(r_), c(c_), v((size_t)r_ * c_, 0.0) {}
+  double& operator()(int i, int j) { return v[(size_t)i * c + j]; }
+  double operator()(int i, int j) const { return v[(size_t)i * c + j]; }
+  static Mat eye(int n) {
+    Mat m(n, n);
+    for (int i = 0; i < n; ++i) m(i, i) = 1.0;
+    return m;
+  }
+};
+
+Mat mul(const Mat& a, const Mat& b) {
+  Mat out(a.r, b.c);
+  for (int i = 0; i < a.r; ++i)
+    for (int k = 0; k < a.c; ++k) {
+      double aik = a(i, k);
+      if (aik == 0.0) continue;
+      for (int j = 0; j < b.c; ++j) out(i, j) += aik * b(k, j);
+    }
+  return out;
+}
+
+Mat tr(const Mat& a) {
+  Mat out(a.c, a.r);
+  for (int i = 0; i < a.r; ++i)
+    for (int j = 0; j < a.c; ++j) out(j, i) = a(i, j);
+  return out;
+}
+
+// Gauss-Jordan inverse with partial pivoting (small matrices only).
+Mat inv(Mat a) {
+  int n = a.r;
+  Mat out = Mat::eye(n);
+  for (int col = 0; col < n; ++col) {
+    int piv = col;
+    for (int i = col + 1; i < n; ++i)
+      if (std::fabs(a(i, col)) > std::fabs(a(piv, col))) piv = i;
+    if (piv != col)
+      for (int j = 0; j < n; ++j) {
+        std::swap(a.v[(size_t)col * n + j], a.v[(size_t)piv * n + j]);
+        std::swap(out.v[(size_t)col * n + j], out.v[(size_t)piv * n + j]);
+      }
+    double d = a(col, col);
+    if (std::fabs(d) < 1e-300) d = (d < 0 ? -1e-300 : 1e-300);
+    double invd = 1.0 / d;
+    for (int j = 0; j < n; ++j) {
+      a(col, j) *= invd;
+      out(col, j) *= invd;
+    }
+    for (int i = 0; i < n; ++i) {
+      if (i == col) continue;
+      double f = a(i, col);
+      if (f == 0.0) continue;
+      for (int j = 0; j < n; ++j) {
+        a(i, j) -= f * a(col, j);
+        out(i, j) -= f * out(col, j);
+      }
+    }
+  }
+  return out;
+}
+
+// ----------------------------------------------------------------------
+// SE(2) + diff drive (same math as rigid2d; closed-form screw integration)
+// ----------------------------------------------------------------------
+struct Drive {
+  double th = 0, x = 0, y = 0, wl = 0, wr = 0;  // pose + wheel angles
+};
+
+struct Geom {
+  double wheel_base = 0.16, wheel_rad = 0.033;
+};
+
+void wheels_to_twist(const Geom& g, double dl, double dr, double* dth,
+                     double* dx) {
+  *dth = (g.wheel_rad / g.wheel_base) * (dr - dl);
+  *dx = (g.wheel_rad / 2.0) * (dl + dr);
+}
+
+void drive_step(const Geom& g, Drive* d, double wl_new, double wr_new) {
+  double dth, dx;
+  wheels_to_twist(g, wl_new - d->wl, wr_new - d->wr, &dth, &dx);
+  // integrate the body twist (dy = 0): closed-form screw
+  double s1, s2;
+  if (std::fabs(dth) < 1e-12) {
+    s1 = 1.0;
+    s2 = dth / 2.0;
+  } else {
+    s1 = std::sin(dth) / dth;
+    s2 = (1.0 - std::cos(dth)) / dth;
+  }
+  double tx = dx * s1, ty = dx * s2;
+  double c = std::cos(d->th), s = std::sin(d->th);
+  d->x += c * tx - s * ty;
+  d->y += s * tx + c * ty;
+  d->th += dth;
+  d->wl = wl_new;
+  d->wr = wr_new;
+}
+
+// ----------------------------------------------------------------------
+// EKF-SLAM, dense (the reference's algorithm: slam_library.cpp)
+// ----------------------------------------------------------------------
+struct EKF {
+  int n = 0;            // landmark capacity
+  int dim = 0;          // 3 + 2n
+  int seen = 0;
+  std::vector<char> slot_seen;
+  std::vector<double> mean;  // [th, x, y, m...]
+  Mat cov;
+  Mat Q;  // 3x3
+  Mat R;  // 2x2
+  double match_gate = 0.01, new_gate = 60.0;
+
+  void init(int n_, const Mat& Q_, const Mat& R_, double init_cov) {
+    n = n_;
+    dim = 3 + 2 * n;
+    seen = 0;
+    slot_seen.assign(n, 0);
+    mean.assign(dim, 0.0);
+    cov = Mat(dim, dim);
+    for (int i = 3; i < dim; ++i) cov(i, i) = init_cov;
+    Q = Q_;
+    R = R_;
+  }
+
+  // predict: arc motion model + dense A Sigma A^T + Qbar (reference style)
+  void predict(double dth, double dx) {
+    double th = mean[0];
+    double b10, b20, qx, qy;
+    if (dth == 0.0) {
+      qx = dx * std::cos(th);
+      qy = dx * std::sin(th);
+      b10 = -dx * std::sin(th);
+      b20 = dx * std::cos(th);
+    } else {
+      double rr = dx / dth;
+      qx = -rr * std::sin(th) + rr * std::sin(th + dth);
+      qy = rr * std::cos(th) - rr * std::cos(th + dth);
+      b10 = -rr * std::cos(th) + rr * std::cos(th + dth);
+      b20 = -rr * std::sin(th) + rr * std::sin(th + dth);
+    }
+    mean[0] += dth;
+    mean[1] += qx;
+    mean[2] += qy;
+
+    Mat A = Mat::eye(dim);
+    A(1, 0) += b10;
+    A(2, 0) += b20;
+    Mat tmp = mul(mul(A, cov), tr(A));  // O(D^3), as the reference does
+    for (int i = 0; i < 3; ++i)
+      for (int j = 0; j < 3; ++j) tmp(i, j) += Q(i, j);
+    cov = tmp;
+  }
+
+  void zhat_H(int j, double* zr, double* zb, Mat* H) const {
+    double dx = mean[3 + 2 * j] - mean[1];
+    double dy = mean[4 + 2 * j] - mean[2];
+    double d = dx * dx + dy * dy;
+    if (d < 1e-12) d = 1e-12;
+    double sq = std::sqrt(d);
+    *zr = sq;
+    *zb = wrap_angle(std::atan2(dy, dx) - mean[0]);
+    *H = Mat(2, dim);
+    (*H)(1, 0) = -1;
+    (*H)(0, 1) = -dx / sq;
+    (*H)(1, 1) = dy / d;
+    (*H)(0, 2) = -dy / sq;
+    (*H)(1, 2) = -dx / d;
+    (*H)(0, 3 + 2 * j) = dx / sq;
+    (*H)(1, 3 + 2 * j) = -dy / d;
+    (*H)(0, 4 + 2 * j) = dy / sq;
+    (*H)(1, 4 + 2 * j) = dx / d;
+  }
+
+  void init_landmark(int j, double zr, double zb) {
+    mean[3 + 2 * j] = mean[1] + zr * std::cos(zb + mean[0]);
+    mean[4 + 2 * j] = mean[2] + zr * std::sin(zb + mean[0]);
+    if (!slot_seen[j]) {
+      slot_seen[j] = 1;
+      seen++;
+    }
+  }
+
+  void update(int j, double zr, double zb) {
+    double hr, hb;
+    Mat H;
+    zhat_H(j, &hr, &hb, &H);
+    Mat SHt = mul(cov, tr(H));                 // (D, 2)
+    Mat psi = mul(H, SHt);                     // (2, 2)
+    psi(0, 0) += R(0, 0);
+    psi(0, 1) += R(0, 1);
+    psi(1, 0) += R(1, 0);
+    psi(1, 1) += R(1, 1);
+    Mat K = mul(SHt, inv(psi));                // (D, 2)
+    double dz0 = zr - hr, dz1 = zb - hb;       // NOT wrapped (reference)
+    for (int i = 0; i < dim; ++i) mean[i] += K(i, 0) * dz0 + K(i, 1) * dz1;
+    mean[0] = wrap_angle(mean[0]);
+    Mat IKH = Mat::eye(dim);
+    Mat KH = mul(K, H);
+    for (int i = 0; i < dim; ++i)
+      for (int j2 = 0; j2 < dim; ++j2) IKH(i, j2) -= KH(i, j2);
+    cov = mul(IKH, cov);                       // O(D^3), as the reference
+  }
+
+  // first-hit association (SURVEY 2.4)
+  int associate(double zr, double zb) {
+    if (seen == 0) return n > 0 ? 0 : -2;  // NEW at slot 0 (or overflow)
+    for (int k = 0; k < seen; ++k) {
+      double hr, hb;
+      Mat H;
+      zhat_H(k, &hr, &hb, &H);
+      Mat psi = mul(mul(H, cov), tr(H));
+      psi(0, 0) += R(0, 0);
+      psi(0, 1) += R(0, 1);
+      psi(1, 0) += R(1, 0);
+      psi(1, 1) += R(1, 1);
+      Mat pi = inv(psi);
+      double d0 = zr - hr, d1 = zb - hb;
+      double m = d0 * (pi(0, 0) * d0 + pi(0, 1) * d1) +
+                 d1 * (pi(1, 0) * d0 + pi(1, 1) * d1);
+      if (m < match_gate) return k;       // match
+      if (m < new_gate) return -1;        // gray area: skip
+    }
+    if (seen >= n) return -2;             // overflow
+    return seen;                          // new landmark at next slot
+  }
+};
+
+// ----------------------------------------------------------------------
+// World sim (tube_world semantics incl. the slip quirk)
+// ----------------------------------------------------------------------
+struct World {
+  std::vector<double> tx, ty;  // tube centers
+  double tube_rad = 0.0381, robot_rad = 0.08;
+  double max_range = 1.0, tube_var = 0.001;
+  double twist_noise = 0.0, slip_min = 0.9, slip_max = 1.0;
+  Geom geom;
+
+  Drive truth;           // true robot (slip-perturbed wheels)
+  double cwl = 0, cwr = 0;  // commanded wheel angles (published joints)
+
+  std::mt19937_64 rng{12345};
+  bool deterministic = true;
+
+  double gauss(double mean, double std) {
+    if (deterministic || std == 0.0) return mean;
+    std::normal_distribution<double> g(mean, std);
+    return g(rng);
+  }
+
+  void substep(double cmd_w, double cmd_v, double dt) {
+    // 1. twist noise
+    double w = cmd_w + gauss(0, twist_noise);
+    double v = cmd_v + gauss(0, twist_noise);
+    // 2. collision: slide along tangent
+    double nx = 0, ny = 0;
+    for (size_t i = 0; i < tx.size(); ++i) {
+      double dx = tx[i] - truth.x, dy = ty[i] - truth.y;
+      double dist = std::sqrt(dx * dx + dy * dy);
+      if (dist < 1e-9) dist = 1e-9;
+      if (dist <= tube_rad + robot_rad) {
+        nx += (dy / dist) / 50.0;
+        ny += (-dx / dist) / 50.0;
+      }
+    }
+    truth.x += nx;
+    truth.y += ny;
+    // 3. wheel velocities and commanded joints
+    double d = geom.wheel_base / 2.0, r = geom.wheel_rad;
+    double ul = -(d / r) * w + v / r;
+    double ur = (d / r) * w + v / r;
+    cwl += ul * dt;
+    cwr += ur * dt;
+    // 4. true update from slip-perturbed wheel angles (the quirk: +u*eta)
+    double smean = (slip_min + slip_max) / 2.0, svar = slip_max - smean;
+    double el = gauss(smean, svar), er = gauss(smean, svar);
+    drive_step(geom, &truth, cwl + ul * el, cwr + ur * er);
+  }
+
+  // relative landmark markers with range gate + constant tube_var offset
+  void fake_sensor(std::vector<double>* mx, std::vector<double>* my,
+                   std::vector<char>* valid) const {
+    double c = std::cos(truth.th), s = std::sin(truth.th);
+    mx->resize(tx.size());
+    my->resize(tx.size());
+    valid->resize(tx.size());
+    for (size_t i = 0; i < tx.size(); ++i) {
+      double dx = tx[i] - truth.x, dy = ty[i] - truth.y;
+      double rx = c * dx + s * dy;      // world -> robot frame
+      double ry = -s * dx + c * dy;
+      (*mx)[i] = rx + tube_var;
+      (*my)[i] = ry + tube_var;
+      (*valid)[i] = std::sqrt(dx * dx + dy * dy) <= max_range ? 1 : 0;
+    }
+  }
+};
+
+struct Scenario {
+  std::string name;
+  std::vector<double> tx, ty;
+  int num_landmarks;
+  bool known_assoc;
+  int steps;
+  double cmd_w, cmd_v;
+  double max_range, tube_var, twist_noise, slip_min, slip_max;
+};
+
+Scenario ring_scenario(const std::string& name, int ntube, double radius,
+                       int cap, bool known, int steps, double w, double v,
+                       double max_range, double tube_var, double tnoise,
+                       double smin, double smax) {
+  Scenario s;
+  s.name = name;
+  for (int k = 0; k < ntube; ++k) {
+    s.tx.push_back(radius * std::cos(2 * kPi * k / ntube));
+    s.ty.push_back(radius * std::sin(2 * kPi * k / ntube));
+  }
+  s.num_landmarks = cap;
+  s.known_assoc = known;
+  s.steps = steps;
+  s.cmd_w = w;
+  s.cmd_v = v;
+  s.max_range = max_range;
+  s.tube_var = tube_var;
+  s.twist_noise = tnoise;
+  s.slip_min = smin;
+  s.slip_max = smax;
+  return s;
+}
+
+Scenario get_scenario(const std::string& name) {
+  const double w60 = 2 * kPi / 60.0;
+  if (name == "loop5_known")
+    return ring_scenario(name, 5, 0.8, 5, true, 600, w60, 0.052, 2.0, 0.0,
+                         0.0, 1.0, 1.0);
+  if (name == "course12_noisy")
+    return ring_scenario(name, 12, 0.9, 12, false, 600, w60, 0.08, 1.0,
+                         0.001, 0.001, 0.9, 1.0);
+  if (name == "stock6") {
+    Scenario s = ring_scenario(name, 0, 0, 6, false, 500, 0.5, 0.1, 1.0,
+                               0.001, 0.0, 0.9, 1.0);
+    double txs[] = {0.5, -0.5, 1.0, -1.0, -0.75, 0.75};
+    double tys[] = {0.5, -0.5, 1.0, -1.0, 0.75, -0.75};
+    s.tx.assign(txs, txs + 6);
+    s.ty.assign(tys, tys + 6);
+    return s;
+  }
+  std::fprintf(stderr, "unknown scenario %s\n", name.c_str());
+  std::exit(2);
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  std::string scen_name = "loop5_known";
+  std::string traj_path;
+  bool deterministic = false;
+  int repeat = 1;
+  for (int i = 1; i < argc; ++i) {
+    if (!std::strcmp(argv[i], "--scenario") && i + 1 < argc)
+      scen_name = argv[++i];
+    else if (!std::strcmp(argv[i], "--traj") && i + 1 < argc)
+      traj_path = argv[++i];
+    else if (!std::strcmp(argv[i], "--deterministic"))
+      deterministic = true;
+    else if (!std::strcmp(argv[i], "--repeat") && i + 1 < argc)
+      repeat = std::atoi(argv[++i]);
+  }
+  Scenario sc = get_scenario(scen_name);
+
+  const int substeps = 5;
+  const double dt = 1.0 / 50.0;
+
+  double total_sec = 0.0;
+  double ate = 0.0, ate_odom = 0.0;
+  std::FILE* tf = traj_path.empty() ? nullptr : std::fopen(traj_path.c_str(), "w");
+  if (tf) std::fprintf(tf, "tick,true_th,true_x,true_y,odom_th,odom_x,odom_y,slam_th,slam_x,slam_y,n_seen\n");
+
+  for (int rep = 0; rep < repeat; ++rep) {
+    World world;
+    world.tx = sc.tx;
+    world.ty = sc.ty;
+    world.max_range = sc.max_range;
+    world.tube_var = sc.tube_var;
+    world.twist_noise = sc.twist_noise;
+    world.slip_min = sc.slip_min;
+    world.slip_max = sc.slip_max;
+    world.deterministic = deterministic;
+    world.rng.seed(12345 + rep);
+
+    Drive odom;
+    EKF ekf;
+    Mat Q(3, 3), R(2, 2);
+    Q(0, 0) = Q(1, 1) = Q(2, 2) = 0.1;
+    R(0, 0) = R(1, 1) = 0.001;
+    ekf.init(sc.num_landmarks, Q, R, 2147483647.0);
+
+    double sum_sq = 0.0, sum_sq_od = 0.0;
+    auto t0 = std::chrono::steady_clock::now();
+    for (int t = 0; t < sc.steps; ++t) {
+      for (int ss = 0; ss < substeps; ++ss)
+        world.substep(sc.cmd_w, sc.cmd_v, dt);
+
+      // odometry from commanded joints
+      double dth, dx;
+      wheels_to_twist(world.geom, world.cwl - odom.wl, world.cwr - odom.wr,
+                      &dth, &dx);
+      drive_step(world.geom, &odom, world.cwl, world.cwr);
+
+      // measurements
+      std::vector<double> mx, my;
+      std::vector<char> valid;
+      world.fake_sensor(&mx, &my, &valid);
+
+      ekf.predict(dth, dx);
+      bool stopped = false;
+      for (size_t i = 0; i < mx.size() && !stopped; ++i) {
+        if (!valid[i]) continue;
+        double zr = std::sqrt(mx[i] * mx[i] + my[i] * my[i]);
+        double zb = wrap_angle(std::atan2(my[i], mx[i]));
+        if (sc.known_assoc) {
+          int j = (int)i;
+          if (!ekf.slot_seen[j]) {
+            ekf.init_landmark(j, zr, zb);
+            ekf.update(j, zr, zb);  // reference: update after init
+          } else {
+            ekf.update(j, zr, zb);
+          }
+        } else {
+          int j = ekf.associate(zr, zb);
+          if (j == -1) continue;
+          if (j == -2) { stopped = true; break; }
+          if (!ekf.slot_seen[j]) {
+            ekf.init_landmark(j, zr, zb);
+            ekf.update(j, zr, zb);
+          } else {
+            ekf.update(j, zr, zb);
+          }
+        }
+      }
+
+      double ex = ekf.mean[1] - world.truth.x, ey = ekf.mean[2] - world.truth.y;
+      sum_sq += ex * ex + ey * ey;
+      double ox = odom.x - world.truth.x, oy = odom.y - world.truth.y;
+      sum_sq_od += ox * ox + oy * oy;
+      if (tf && rep == 0)
+        std::fprintf(tf, "%d,%.12g,%.12g,%.12g,%.12g,%.12g,%.12g,%.12g,%.12g,%.12g,%d\n",
+                     t, world.truth.th, world.truth.x, world.truth.y,
+                     odom.th, odom.x, odom.y,
+                     ekf.mean[0], ekf.mean[1], ekf.mean[2], ekf.seen);
+    }
+    auto t1 = std::chrono::steady_clock::now();
+    total_sec += std::chrono::duration<double>(t1 - t0).count();
+    ate = std::sqrt(sum_sq / sc.steps);
+    ate_odom = std::sqrt(sum_sq_od / sc.steps);
+  }
+  if (tf) std::fclose(tf);
+
+  double ticks_per_sec = (double)sc.steps * repeat / total_sec;
+  std::printf(
+      "{\"scenario\": \"%s\", \"ticks_per_sec\": %.1f, \"ate\": %.6f, "
+      "\"ate_odom\": %.6f, \"steps\": %d, \"repeat\": %d, "
+      "\"deterministic\": %s}\n",
+      sc.name.c_str(), ticks_per_sec, ate, ate_odom, sc.steps, repeat,
+      deterministic ? "true" : "false");
+  return 0;
+}

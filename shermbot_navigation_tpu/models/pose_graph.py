@@ -1,0 +1,211 @@
+"""SE(2) keyframe pose-graph optimization (loop closure).
+
+The reference has no smoothing/refinement at all — its only trajectory
+estimate is the online EKF (SURVEY.md section 5 "long-context" row calls for
+keyframe pose graphs as the config-5 component). This module is the
+from-scratch TPU design:
+
+- a pose graph is arrays: poses (T, 3) ``[th, x, y]`` + edges
+  (odometry & loop closures) as index pairs with measured relative poses
+  and information matrices;
+- residuals use the SE(2) group: ``e = log(Z^-1 (X_i^-1 X_j))`` with the
+  heading wrapped; Jacobians come from ``jax.jacfwd`` on the residual —
+  no hand-derived formulas to get wrong, and XLA fuses the batched (3,3)
+  blocks anyway;
+- one Gauss-Newton step assembles the normal equations either densely
+  (small graphs) or matrix-free via conjugate gradients (``solve="cg"``),
+  where ``H v`` is an edge-wise gather -> block product -> scatter-add —
+  the form that shards over a device mesh (see parallel/schur_dist.py);
+- pose 0 is gauge-anchored with a strong prior.
+
+Everything is fixed-shape: pad edges and mask with ``weight=0``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import se2
+
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+class PoseGraph(NamedTuple):
+    poses: jnp.ndarray    # (T, 3) [th, x, y]
+    edge_i: jnp.ndarray   # (E,) int32 source pose index
+    edge_j: jnp.ndarray   # (E,) int32 target pose index
+    meas: jnp.ndarray     # (E, 3) measured relative pose [th, x, y]
+    info: jnp.ndarray     # (E, 3, 3) information matrix
+    weight: jnp.ndarray   # (E,) 0/1 mask for padded edges
+
+
+def edge_residual(xi, xj, zij):
+    """``log(Z^-1 (X_i^-1 X_j))`` as ``[dth, dx, dy]`` (heading wrapped)."""
+    Ti = se2.from_pose(xi)
+    Tj = se2.from_pose(xj)
+    Z = se2.from_pose(zij)
+    E = se2.compose(se2.inv(Z), se2.compose(se2.inv(Ti), Tj))
+    p = se2.to_pose(E)
+    return p.at[..., 0].set(se2.normalize_angle(p[..., 0]))
+
+
+_res_and_jac = jax.vmap(
+    lambda xi, xj, z: (
+        edge_residual(xi, xj, z),
+        jax.jacfwd(edge_residual, argnums=0)(xi, xj, z),
+        jax.jacfwd(edge_residual, argnums=1)(xi, xj, z),
+    )
+)
+
+
+def residuals(g: PoseGraph):
+    """(E, 3) residuals + per-edge Jacobians (E, 3, 3) wrt xi and xj."""
+    xi = g.poses[g.edge_i]
+    xj = g.poses[g.edge_j]
+    return _res_and_jac(xi, xj, g.meas)
+
+
+def chi2(g: PoseGraph):
+    r, _, _ = residuals(g)
+    return jnp.sum(
+        g.weight * jnp.einsum("ei,eij,ej->e", r, g.info, r,
+                              precision=PRECISION))
+
+
+def _assemble_rhs(g: PoseGraph, r, Ji, Jj):
+    """b = sum_e J^T Omega r scattered to pose blocks; (T, 3)."""
+    T = g.poses.shape[0]
+    w = g.weight[:, None]
+    Or = jnp.einsum("eij,ej->ei", g.info, r, precision=PRECISION)
+    bi = jnp.einsum("eji,ej->ei", Ji, Or, precision=PRECISION) * w
+    bj = jnp.einsum("eji,ej->ei", Jj, Or, precision=PRECISION) * w
+    b = jnp.zeros((T, 3), g.poses.dtype)
+    b = b.at[g.edge_i].add(bi)
+    b = b.at[g.edge_j].add(bj)
+    return b
+
+
+def _hv(g: PoseGraph, Ji, Jj, v, anchor_w):
+    """Matrix-free ``H v`` for CG: edge-wise gather/product/scatter.
+
+    ``H = sum_e J_e^T Omega J_e + anchor``; v is (T, 3).
+    """
+    w = g.weight[:, None]
+    vi = v[g.edge_i]
+    vj = v[g.edge_j]
+    Jv = (jnp.einsum("eij,ej->ei", Ji, vi, precision=PRECISION)
+          + jnp.einsum("eij,ej->ei", Jj, vj, precision=PRECISION))
+    OJv = jnp.einsum("eij,ej->ei", g.info, Jv, precision=PRECISION)
+    hi = jnp.einsum("eji,ej->ei", Ji, OJv, precision=PRECISION) * w
+    hj = jnp.einsum("eji,ej->ei", Jj, OJv, precision=PRECISION) * w
+    out = jnp.zeros_like(v)
+    out = out.at[g.edge_i].add(hi)
+    out = out.at[g.edge_j].add(hj)
+    # gauge anchor on pose 0
+    out = out.at[0].add(anchor_w * v[0])
+    return out
+
+
+def _cg(matvec, b, iters, tol=1e-10):
+    """Plain conjugate gradients on the pose-block vector space."""
+    x = jnp.zeros_like(b)
+    r = b
+    p = r
+    rs = jnp.sum(r * r)
+
+    def body(carry, _):
+        x, r, p, rs = carry
+        Ap = matvec(p)
+        denom = jnp.maximum(jnp.sum(p * Ap), 1e-30)
+        alpha = rs / denom
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = jnp.sum(r * r)
+        beta = rs_new / jnp.maximum(rs, 1e-30)
+        p = r + beta * p
+        return (x, r, p, rs_new), None
+
+    (x, _, _, _), _ = jax.lax.scan(body, (x, r, p, rs), None, length=iters)
+    return x
+
+
+def gauss_newton_step(g: PoseGraph, damping: float = 1e-6,
+                      anchor_w: float = 1e6, solve: str = "dense",
+                      cg_iters: int = 50) -> PoseGraph:
+    """One (Levenberg-damped) Gauss-Newton step. ``solve``: "dense" builds
+    the (3T, 3T) normal matrix (fine to a few thousand keyframes on one
+    chip); "cg" is matrix-free."""
+    T = g.poses.shape[0]
+    r, Ji, Jj = residuals(g)
+    b = _assemble_rhs(g, r, Ji, Jj)
+
+    if solve == "dense":
+        H = jnp.zeros((T, 3, T, 3), g.poses.dtype)
+        w = g.weight[:, None, None]
+        Oi = jnp.einsum("eij,ejk->eik", g.info, Ji, precision=PRECISION)
+        Oj = jnp.einsum("eij,ejk->eik", g.info, Jj, precision=PRECISION)
+        Hii = jnp.einsum("eji,ejk->eik", Ji, Oi, precision=PRECISION) * w
+        Hij = jnp.einsum("eji,ejk->eik", Ji, Oj, precision=PRECISION) * w
+        Hji = jnp.einsum("eji,ejk->eik", Jj, Oi, precision=PRECISION) * w
+        Hjj = jnp.einsum("eji,ejk->eik", Jj, Oj, precision=PRECISION) * w
+        H = H.at[g.edge_i, :, g.edge_i, :].add(Hii)
+        H = H.at[g.edge_i, :, g.edge_j, :].add(Hij)
+        H = H.at[g.edge_j, :, g.edge_i, :].add(Hji)
+        H = H.at[g.edge_j, :, g.edge_j, :].add(Hjj)
+        H = H.at[0, :, 0, :].add(anchor_w * jnp.eye(3, dtype=g.poses.dtype))
+        Hm = H.reshape(3 * T, 3 * T)
+        Hm = Hm + damping * jnp.eye(3 * T, dtype=g.poses.dtype)
+        dx = jnp.linalg.solve(Hm, -b.reshape(-1)).reshape(T, 3)
+    elif solve == "cg":
+        mv = lambda v: _hv(g, Ji, Jj, v, anchor_w) + damping * v
+        dx = _cg(mv, -b, cg_iters)
+    else:
+        raise ValueError(solve)
+
+    poses = g.poses + dx
+    poses = poses.at[:, 0].set(se2.normalize_angle(poses[:, 0]))
+    return g._replace(poses=poses)
+
+
+def optimize(g: PoseGraph, iters: int = 10, **kw) -> PoseGraph:
+    """Run ``iters`` GN steps under one jit (lax.scan over steps)."""
+    def body(gg, _):
+        return gauss_newton_step(gg, **kw), None
+
+    g, _ = jax.lax.scan(body, g, None, length=iters)
+    return g
+
+
+# ---------------------------------------------------------------------------
+# Graph construction helpers
+# ---------------------------------------------------------------------------
+
+def odometry_edges(poses_odom, info):
+    """Consecutive-pose edges from an odometry trajectory (T, 3)."""
+    T = poses_odom.shape[0]
+    i = jnp.arange(T - 1, dtype=jnp.int32)
+    j = i + 1
+    Ti = se2.from_pose(poses_odom[:-1])
+    Tj = se2.from_pose(poses_odom[1:])
+    meas = se2.to_pose(se2.compose(se2.inv(Ti), Tj))
+    info_e = jnp.broadcast_to(info, (T - 1, 3, 3))
+    return i, j, meas, info_e
+
+
+def build_graph(poses_init, edges):
+    """Stack (i, j, meas, info) edge groups into one padded PoseGraph."""
+    ei = jnp.concatenate([e[0] for e in edges])
+    ej = jnp.concatenate([e[1] for e in edges])
+    meas = jnp.concatenate([e[2] for e in edges])
+    info = jnp.concatenate([e[3] for e in edges])
+    return PoseGraph(
+        poses=jnp.asarray(poses_init),
+        edge_i=ei.astype(jnp.int32),
+        edge_j=ej.astype(jnp.int32),
+        meas=meas,
+        info=info,
+        weight=jnp.ones(ei.shape[0], jnp.asarray(poses_init).dtype),
+    )

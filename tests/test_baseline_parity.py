@@ -1,0 +1,101 @@
+"""End-to-end trajectory parity: the JAX engine vs the C++ baseline port.
+
+The C++ baseline (native/baseline) implements the reference's algorithms
+dense-and-sequential (slam_library.cpp math, O(D^3) covariance). In
+deterministic mode (all noise at its mean) both engines are exactly
+reproducible, so their full 600-tick trajectories must agree to float
+tolerance — this is the ATE-vs-reference-EKF acceptance check of
+BASELINE.md (target <= 1 cm; we assert millimeters).
+"""
+
+import csv
+import os
+import subprocess
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASELINE_DIR = os.path.join(REPO, "native", "baseline")
+BASELINE_BIN = os.path.join(BASELINE_DIR, "baseline")
+
+
+@pytest.fixture(scope="module")
+def baseline_bin():
+    if not os.path.exists(BASELINE_BIN):
+        subprocess.run(["make"], cwd=BASELINE_DIR, check=True,
+                       capture_output=True)
+    return BASELINE_BIN
+
+
+def run_cpp(baseline_bin, scenario, tmp_path):
+    traj = str(tmp_path / f"{scenario}.csv")
+    out = subprocess.run(
+        [baseline_bin, "--scenario", scenario, "--deterministic",
+         "--traj", traj],
+        check=True, capture_output=True, text=True)
+    rows = list(csv.DictReader(open(traj)))
+    return rows, out.stdout
+
+
+def test_loop5_trajectory_parity(baseline_bin, tmp_path):
+    from shermbot_navigation_tpu.pipeline import metrics
+    from shermbot_navigation_tpu.pipeline.config import get_scenario
+    from shermbot_navigation_tpu.pipeline.driver import run_scenario
+    import dataclasses
+
+    rows, stdout = run_cpp(baseline_bin, "loop5_known", tmp_path)
+    cpp_true = np.array([[float(r["true_x"]), float(r["true_y"])]
+                         for r in rows])
+    cpp_slam = np.array([[float(r["slam_x"]), float(r["slam_y"])]
+                         for r in rows])
+    cpp_odom = np.array([[float(r["odom_x"]), float(r["odom_y"])]
+                         for r in rows])
+
+    scn = get_scenario("loop5_known")
+    outs = run_scenario(scn, jax.random.PRNGKey(0), jnp.float64)
+    jax_true = np.asarray(outs.true_pose[:, 1:])
+    jax_slam = np.asarray(outs.slam_pose[:, 1:])
+    jax_odom = np.asarray(outs.odom_pose[:, 1:])
+
+    # ground-truth worlds must coincide (same deterministic sim)
+    np.testing.assert_allclose(jax_true, cpp_true, atol=1e-7)
+    np.testing.assert_allclose(jax_odom, cpp_odom, atol=1e-7)
+    # SLAM estimates: analytic init vs INT_MAX-prior differ at the
+    # infinite-prior-limit level only — trajectories agree to ~1e-6
+    err = np.sqrt(np.mean(np.sum((jax_slam - cpp_slam) ** 2, axis=-1)))
+    assert err < 1e-4, f"ATE vs reference EKF = {err} m"
+    # and both track the world equally well
+    assert int(rows[-1]["n_seen"]) == int(outs.n_seen[-1]) == 5
+
+
+def test_unknown_association_parity(baseline_bin, tmp_path):
+    """course12 with noise forced off (deterministic): unknown-association
+    gating decisions must match the C++ first-hit implementation tick by
+    tick, so the trajectories coincide."""
+    # The cpp scenario table has course12_noisy with noise; in deterministic
+    # mode its draws collapse to means (slip eta = 0.95!) — the slip quirk
+    # stays active identically on both sides.
+    import dataclasses
+    from shermbot_navigation_tpu.pipeline.config import get_scenario
+    from shermbot_navigation_tpu.pipeline.driver import run_scenario
+
+    rows, stdout = run_cpp(baseline_bin, "course12_noisy", tmp_path)
+    cpp_slam = np.array([[float(r["slam_x"]), float(r["slam_y"])]
+                         for r in rows])
+    cpp_true = np.array([[float(r["true_x"]), float(r["true_y"])]
+                         for r in rows])
+
+    scn = dataclasses.replace(
+        get_scenario("course12_noisy"),
+        twist_noise=0.0, slip_min=0.95, slip_max=0.95)
+    outs = run_scenario(scn, jax.random.PRNGKey(0), jnp.float64)
+    jax_true = np.asarray(outs.true_pose[:, 1:])
+    jax_slam = np.asarray(outs.slam_pose[:, 1:])
+
+    np.testing.assert_allclose(jax_true, cpp_true, atol=1e-7)
+    err = np.sqrt(np.mean(np.sum((jax_slam - cpp_slam) ** 2, axis=-1)))
+    assert err < 1e-3, f"ATE vs reference EKF = {err} m"
+    assert int(rows[-1]["n_seen"]) == int(outs.n_seen[-1])
