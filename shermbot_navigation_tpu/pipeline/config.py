@@ -60,6 +60,8 @@ class ScenarioConfig:
     slip_min: float = 0.9
     slip_max: float = 1.0
     scan_noise: float = 0.0
+    sensor_dropout: float = 0.0      # fault injection (our extension)
+    scan_dropout: float = 0.0
     q_diag: Tuple[float, float, float] = Q_DIAG
     r_diag: Tuple[float, float] = R_DIAG
     max_clusters: int = 16
@@ -69,7 +71,10 @@ class ScenarioConfig:
     command: Tuple = ("circle", 0.5, 0.1)
 
     def world_config(self) -> WorldConfig:
-        return WorldConfig()
+        # only produce the observation channels this scenario consumes
+        # (unused lax.scan outputs are not DCE'd by XLA)
+        return WorldConfig(compute_scan=self.use_lidar,
+                           compute_fake_sensor=not self.use_lidar)
 
     def ekf_config(self) -> EKFConfig:
         return EKFConfig(num_landmarks=self.num_landmarks)
@@ -81,6 +86,8 @@ class ScenarioConfig:
             twist_noise=self.twist_noise,
             slip_min=self.slip_min, slip_max=self.slip_max,
             scan_noise=self.scan_noise,
+            sensor_dropout=self.sensor_dropout,
+            scan_dropout=self.scan_dropout,
             scan_min=SCAN_MIN, scan_max=SCAN_MAX,
             wheel_base=WHEEL_BASE, wheel_rad=WHEEL_RADIUS,
             tube_rad=TUBE_RADIUS, robot_rad=ROBOT_RADIUS,

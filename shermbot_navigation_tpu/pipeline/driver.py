@@ -86,16 +86,16 @@ def slam_tick(scn: ScenarioConfig, params: tw.WorldParams, Q, R,
     ecfg = scn.ekf_config()
     dtype = state.odom.pose.dtype
 
-    # --- simulator substeps (tube_world at 50 Hz)
-    key, *subkeys = jax.random.split(state.key, scn.sim_substeps + 1)
+    # --- simulator substeps (tube_world at 50 Hz). Only the LAST substep's
+    # observations are consumed at 10 Hz (latest-topic sampling), so the
+    # inner scan advances dynamics only and observations are produced once.
+    key, k_obs, *subkeys = jax.random.split(state.key, scn.sim_substeps + 2)
 
     def sim_body(wst, k):
-        wst, obs = tw.step(wcfg, params, wst, cmd, scn.dt, k)
-        return wst, obs
+        return tw.step_dynamics(wcfg, params, wst, cmd, scn.dt, k), None
 
-    world, obs_seq = jax.lax.scan(
-        sim_body, state.world, jnp.stack(subkeys))
-    obs = jax.tree_util.tree_map(lambda x: x[-1], obs_seq)  # latest topics
+    world, _ = jax.lax.scan(sim_body, state.world, jnp.stack(subkeys))
+    obs = tw.observe(wcfg, params, world, k_obs)
 
     # --- odometry from commanded joint states (ref slam.cpp:264-265)
     dparams = dd.DiffDriveParams(params.wheel_base, params.wheel_rad)

@@ -48,11 +48,19 @@ from ..ops import se2
 
 @dataclasses.dataclass(frozen=True)
 class WorldConfig:
-    """Static world configuration."""
+    """Static world configuration.
+
+    ``compute_scan`` / ``compute_fake_sensor`` gate the observation channels:
+    XLA cannot dead-code-eliminate unused ``lax.scan`` outputs, so a scenario
+    that never consumes the lidar must not compute it (5x360 ray casts per
+    SLAM tick otherwise burn for nothing).
+    """
 
     num_rays: int = 360                 # scan_params.yaml: sample_num
     reference_lidar_quirks: bool = False
     collision_nudge: float = 1.0 / 50.0  # tube_world.cpp:387 "tangent/50"
+    compute_scan: bool = True
+    compute_fake_sensor: bool = True
 
 
 class WorldParams(NamedTuple):
@@ -70,6 +78,8 @@ class WorldParams(NamedTuple):
     scan_min: jnp.ndarray     # 0.05
     scan_max: jnp.ndarray     # 1.0
     scan_noise: jnp.ndarray   # our extension (ref declares noise_level, never uses it)
+    sensor_dropout: jnp.ndarray  # fault injection: P(drop a visible marker)
+    scan_dropout: jnp.ndarray    # fault injection: P(drop a lidar ray)
     wheel_base: jnp.ndarray   # 0.16
     wheel_rad: jnp.ndarray    # 0.033
 
@@ -84,6 +94,7 @@ def default_params(tube_locs=None, dtype=jnp.float32, **overrides) -> WorldParam
         tube_rad=0.0381, robot_rad=0.08, max_range=1.0, tube_var=0.001,
         twist_noise=0.0, slip_min=0.9, slip_max=1.0,
         scan_min=0.05, scan_max=1.0, scan_noise=0.0,
+        sensor_dropout=0.0, scan_dropout=0.0,
         wheel_base=0.16, wheel_rad=0.033,
     )
     vals.update(overrides)
@@ -209,12 +220,13 @@ def _lidar(config: WorldConfig, params: WorldParams, pose, key):
     return ranges
 
 
-def step(config: WorldConfig, params: WorldParams, state: WorldState,
-         cmd_twist, dt, key) -> Tuple[WorldState, Observation]:
-    """One simulator tick. ``cmd_twist`` is ``[dth, dx, dy]`` (the /cmd_vel
-    equivalent; dy ignored by the diff drive), ``dt`` the tick period
-    (1/50 s at the reference rate, tube_world.cpp:67)."""
-    kt, ks, kl = jax.random.split(key, 3)
+def step_dynamics(config: WorldConfig, params: WorldParams,
+                  state: WorldState, cmd_twist, dt, key) -> WorldState:
+    """Advance the world one tick WITHOUT computing observations —
+    the hot path when only the last substep's topics are consumed
+    (ref: 50 Hz sim feeding 10 Hz consumers means 4/5 of published
+    observations are never read; we skip producing them entirely)."""
+    kt, ks = jax.random.split(key, 2)
     dtype = state.cmd_wheels.dtype
 
     # 1. twist noise (twist_callback, :177-189): N(0, twist_noise) on dth, dx
@@ -236,19 +248,55 @@ def step(config: WorldConfig, params: WorldParams, state: WorldState,
     eta = slip_mean + slip_var * jax.random.normal(ks, (2,), dtype)
     drive = dd.step(dparams, drive, cmd_wheels + u * eta)
 
-    # 5. observations from the updated pose
-    rel, rel_valid = _fake_sensor(params, drive.pose)
-    scan = _lidar(config, params, drive.pose, kl)
+    return WorldState(drive=drive, cmd_wheels=cmd_wheels)
 
-    new_state = WorldState(drive=drive, cmd_wheels=cmd_wheels)
-    obs = Observation(
-        joint_states=cmd_wheels,
+
+def observe(config: WorldConfig, params: WorldParams, state: WorldState,
+            key) -> Observation:
+    """Produce the tick's observations from the current true pose
+    (set_rel_markers + simulate_lidar_scanner). Channels gated by
+    ``config.compute_*`` return zeros when off."""
+    dtype = state.cmd_wheels.dtype
+    pose = state.drive.pose
+    K = params.tube_locs.shape[0]
+    k_lidar, k_drop_m, k_drop_s = jax.random.split(key, 3)
+
+    if config.compute_fake_sensor:
+        rel, rel_valid = _fake_sensor(params, pose)
+        # fault injection: random marker dropout (our extension; the ref has
+        # only algorithmic robustness, SURVEY.md section 5)
+        keep = jax.random.uniform(k_drop_m, (K,)) >= params.sensor_dropout
+        rel_valid = rel_valid & keep
+    else:
+        rel = jnp.zeros((K, 2), dtype)
+        rel_valid = jnp.zeros((K,), bool)
+
+    if config.compute_scan:
+        scan = _lidar(config, params, pose, k_lidar)
+        keep = (jax.random.uniform(k_drop_s, (config.num_rays,))
+                >= params.scan_dropout)
+        scan = jnp.where(keep, scan, params.scan_max + 1.0)
+    else:
+        scan = jnp.zeros((config.num_rays,), dtype)
+
+    return Observation(
+        joint_states=state.cmd_wheels,
         fake_sensor=rel,
         fake_sensor_valid=rel_valid,
         scan=scan,
-        true_pose=drive.pose,
+        true_pose=pose,
     )
-    return new_state, obs
+
+
+def step(config: WorldConfig, params: WorldParams, state: WorldState,
+         cmd_twist, dt, key) -> Tuple[WorldState, Observation]:
+    """One simulator tick with observations. ``cmd_twist`` is
+    ``[dth, dx, dy]`` (the /cmd_vel equivalent; dy ignored by the diff
+    drive), ``dt`` the tick period (1/50 s at the reference rate,
+    tube_world.cpp:67)."""
+    kd, ko = jax.random.split(key, 2)
+    new_state = step_dynamics(config, params, state, cmd_twist, dt, kd)
+    return new_state, observe(config, params, new_state, ko)
 
 
 def rollout(config: WorldConfig, params: WorldParams, state: WorldState,
