@@ -1,0 +1,114 @@
+"""Large synthetic-map workload (BASELINE config 4): thousands of landmarks,
+blocked covariance, sharded over the ('data', 'map') mesh.
+
+The workload: B robots random-walk over a big landmark field; every tick
+each robot observes ``M`` landmarks (a precomputed visit schedule sweeping
+the whole map, known association — the scheme BASELINE.json's config 4
+measures) and the blocked EKF performs predict + M sequential updates with
+the map dimension sharded over 'map' and the batch over 'data'.
+
+Ground truth is generated analytically (no tube-world needed at this scale);
+measurement generation happens inside the same jitted step so nothing
+round-trips the host.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding
+
+from ..models.ekf_slam import EKFConfig, cartesian2polar
+from ..ops import se2
+from . import blocked_ekf
+from .mesh import make_mesh
+
+
+class BigMapWorkload(NamedTuple):
+    landmarks: jnp.ndarray   # (N, 2) true positions
+    cmd: jnp.ndarray         # (T, 3) command twists
+    schedule: jnp.ndarray    # (T, M) landmark ids observed per tick
+
+
+def make_workload(N: int, T: int, M: int, key, spacing: float = 2.0,
+                  dtype=jnp.float32) -> BigMapWorkload:
+    """Grid of N landmarks; a looping robot; a schedule that sweeps ids so
+    every landmark is initialized and revisited."""
+    import math
+    side = math.ceil(math.sqrt(N))
+    ii = jnp.arange(N)
+    lms = jnp.stack([(ii % side - side / 2) * spacing,
+                     (ii // side - side / 2) * spacing], axis=-1).astype(dtype)
+    w = 2 * jnp.pi / max(T, 1)
+    cmd = jnp.broadcast_to(
+        jnp.array([w, 0.1, 0.0], dtype), (T, 3))
+    # sweep: tick t observes ids [t*M .. t*M+M) mod N, then revisits
+    t_idx = jnp.arange(T)[:, None]
+    schedule = (t_idx * M + jnp.arange(M)[None, :]) % N
+    return BigMapWorkload(landmarks=lms, cmd=cmd,
+                          schedule=schedule.astype(jnp.int32))
+
+
+def _true_pose(cmd, t, dtype):
+    """Closed-form pose after t constant-twist ticks (arc)."""
+    w, v = cmd[0, 0], cmd[0, 1]
+    th = w * t
+    r = v / w
+    x = r * jnp.sin(th)
+    y = r * (1.0 - jnp.cos(th))
+    return jnp.stack([th, x, y]).astype(dtype)
+
+
+def make_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int):
+    """Build ``run(state, workload, Q, R, t0, ticks) -> state`` jitted over
+    the mesh: generates measurements on device and applies the sharded
+    blocked step ``ticks`` times via lax.scan."""
+    step = blocked_ekf.make_sharded_step(cfg, mesh, batch, M)
+
+    @functools.partial(jax.jit, static_argnames=("ticks",))
+    def run(state, wl: BigMapWorkload, Q, R, t0, ticks: int):
+        dtype = state.mean_r.dtype
+
+        def body(carry, t):
+            st = carry
+            # the EKF predicts from pose(t) to pose(t+1) before updating, so
+            # this tick's measurements are taken at pose(t+1)
+            pose = _true_pose(wl.cmd, t.astype(dtype) + 1.0, dtype)
+            ids = wl.schedule[t % wl.schedule.shape[0]]       # (M,)
+            lm = wl.landmarks[ids]                            # (M, 2)
+            dx = lm[:, 0] - pose[1]
+            dy = lm[:, 1] - pose[2]
+            zs = cartesian2polar(dx, dy)
+            zs = zs.at[:, 1].set(se2.normalize_angle(zs[:, 1] - pose[0]))
+            zsb = jnp.broadcast_to(zs, (batch, M, 2))
+            idsb = jnp.broadcast_to(ids, (batch, M))
+            valid = jnp.ones((batch, M), bool)
+            tw = jnp.broadcast_to(wl.cmd[t % wl.cmd.shape[0]], (batch, 3))
+            st = step(st, tw, zsb, valid, idsb, Q, R)
+            return st, None
+
+        state, _ = jax.lax.scan(body, state, t0 + jnp.arange(ticks))
+        return state
+
+    return run
+
+
+def run_bigmap(N: int = 2048, T: int = 32, M: int = 8, batch: int = 1,
+               mesh: Mesh | None = None, dtype=jnp.float32):
+    """End-to-end config-4 run; returns (final BlockedState, workload)."""
+    if mesh is None:
+        mesh = make_mesh(jax.devices()[:1], data=1)
+    cfg = EKFConfig(num_landmarks=N)
+    wl = make_workload(N, T, M, jax.random.PRNGKey(0), dtype=dtype)
+    runner = make_runner(cfg, mesh, batch, M)
+    state = blocked_ekf.init(cfg, batch, dtype=dtype)
+    specs = blocked_ekf.state_sharding(mesh)
+    state = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)
+    Q = jnp.diag(jnp.array([1e-4, 1e-4, 1e-4], dtype))
+    R = jnp.diag(jnp.array([1e-3, 1e-3], dtype))
+    state = runner(state, wl, Q, R, jnp.int32(0), T)
+    return state, wl

@@ -40,7 +40,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..models.ekf_slam import EKFConfig, _inv2x2, PRECISION
 from ..ops import se2
@@ -144,11 +144,12 @@ def _update_shard(config, st, z, j, R, n_local):
     the (2, 2*Nl) HSigma strip over 'map'.
     """
     dtype = st.mean_r.dtype
-    shard = jax.lax.axis_index("map")
-    off = shard * n_local
+    j = jnp.asarray(j, jnp.int32)
+    shard = jax.lax.axis_index("map").astype(jnp.int32)
+    off = shard * jnp.int32(n_local)
     j_loc = j - off
     owns = (j_loc >= 0) & (j_loc < n_local)
-    j_safe = jnp.clip(j_loc, 0, n_local - 1)
+    j_safe = jnp.clip(j_loc, 0, n_local - 1).astype(jnp.int32)
 
     # owner broadcast: landmark mean (2,), strip col (3,2), mm col block rows
     mj = jax.lax.psum(
@@ -216,11 +217,12 @@ def _init_landmark_shard(config, st, z, j, R, n_local):
     """Analytic first-observation init of global slot j (writes the owner's
     mean/cov blocks; the cross-strip to the robot is global)."""
     dtype = st.mean_r.dtype
-    shard = jax.lax.axis_index("map")
-    off = shard * n_local
+    j = jnp.asarray(j, jnp.int32)
+    shard = jax.lax.axis_index("map").astype(jnp.int32)
+    off = shard * jnp.int32(n_local)
     j_loc = j - off
     owns = (j_loc >= 0) & (j_loc < n_local)
-    j_safe = jnp.clip(j_loc, 0, n_local - 1)
+    j_safe = jnp.clip(j_loc, 0, n_local - 1).astype(jnp.int32)
 
     th, x, y = st.mean_r[0], st.mean_r[1], st.mean_r[2]
     a = z[1] + th
@@ -262,7 +264,7 @@ def _init_landmark_shard(config, st, z, j, R, n_local):
     # local rows' part of the column = (local cols of cross_m)^T
     n_l = st.mean_m.shape[0]
     local_cols = jax.lax.dynamic_slice_in_dim(
-        cross_m, shard * n_l, n_l, axis=1)                        # (2, Nl, 2)
+        cross_m, shard * jnp.int32(n_l), n_l, axis=1)                        # (2, Nl, 2)
     col_block = jnp.transpose(local_cols, (1, 2, 0))              # (Nl, 2, 2)
     cov_mm = jnp.transpose(
         jax.lax.dynamic_update_index_in_dim(
@@ -327,8 +329,7 @@ def _associate_shard(config, st, z, R, n_local):
                       precision=PRECISION)
 
     gidx = off + jnp.arange(n_local)
-    seen = gidx < st.n_seen
-    dist = jnp.where(seen, dist, jnp.inf)
+    dist = jnp.where(st.seen, dist, jnp.inf)
 
     # global first-hit: smallest global index with dist < new_gate
     hit_idx = jnp.where(dist < config.new_gate, gidx, jnp.iinfo(jnp.int32).max)
@@ -406,5 +407,80 @@ def make_sharded_step(config: EKFConfig, mesh: Mesh, batch: int,
         return jax.vmap(one)(st, twist, zs, valid, ids)
 
     fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs, out_specs=specs,
-                   check_rep=False)
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+def make_sharded_unknown_step(config: EKFConfig, mesh: Mesh, batch: int,
+                              max_meas: int):
+    """Mesh-sharded SLAM tick with UNKNOWN association: the reference's
+    Mahalanobis first-hit gating (SURVEY section 2.4) resolved globally via
+    pmin over shards. Semantics mirror ``models.ekf_slam.step`` exactly:
+    match -> update; gray-zone -> skip; all-far -> new landmark at the next
+    sequential slot (analytic init); capacity overflow -> the tick stops
+    processing further measurements (sticky flag).
+
+    Returns ``step(state, twist (B,3), zs (B,M,2), valid (B,M), Q, R)``.
+    """
+    N = config.num_landmarks
+    n_map = mesh.shape["map"]
+    if N % n_map:
+        raise ValueError(f"num_landmarks {N} not divisible by map={n_map}")
+    n_local = N // n_map
+
+    specs = state_sharding(mesh)
+    in_specs = (specs, P("data", None), P("data", None, None),
+                P("data", None), P(None, None), P(None, None))
+
+    def shard_fn(st, twist, zs, valid, Q, R):
+        def one(st1, tw1, zs1, va1):
+            st1 = _predict_shard(config, st1, tw1, Q)
+
+            def body(carry, inp):
+                s, stopped = carry
+                z, v = inp
+                act = v & ~stopped
+
+                any_hit, first, d_first = _associate_shard(
+                    config, s, z, R, n_local)
+                no_seen = s.n_seen == 0
+                cap_full = s.n_seen >= N
+                first_match = d_first < config.match_gate
+
+                is_match = act & ~no_seen & any_hit & first_match
+                is_skip = act & ~no_seen & any_hit & ~first_match
+                want_new = act & (no_seen | ~any_hit)
+                is_new = want_new & ~cap_full
+                is_overflow = want_new & cap_full
+
+                new_slot = jnp.minimum(s.n_seen, N - 1).astype(jnp.int32)
+                j_eff = jnp.where(is_match, first, new_slot)
+
+                # analytic init at the new slot
+                s_init = _init_landmark_shard(config, s, z, j_eff, R,
+                                              n_local)
+                shard = jax.lax.axis_index("map")
+                j_loc = j_eff - shard * n_local
+                owns = (j_loc >= 0) & (j_loc < n_local)
+                seen_upd = jnp.where(
+                    owns,
+                    s.seen.at[jnp.clip(j_loc, 0, n_local - 1)].set(True),
+                    s.seen)
+                s_init = s_init._replace(n_seen=s.n_seen + 1, seen=seen_upd)
+                pre = jax.tree_util.tree_map(
+                    lambda a_, b_: jnp.where(is_new, a_, b_), s_init, s)
+
+                upd = _update_shard(config, pre, z, j_eff, R, n_local)
+                s = jax.tree_util.tree_map(
+                    lambda a_, b_: jnp.where(is_match, a_, b_), upd, pre)
+                return (s, stopped | is_overflow), None
+
+            (st1, _), _ = jax.lax.scan(
+                body, (st1, jnp.bool_(False)), (zs1, va1))
+            return st1
+
+        return jax.vmap(one)(st, twist, zs, valid)
+
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs, out_specs=specs,
+                   check_vma=False)
     return jax.jit(fn)

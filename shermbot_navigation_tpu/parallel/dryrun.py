@@ -54,4 +54,20 @@ def run(n_devices: int) -> None:
     jax.block_until_ready(out2)
     assert bool(jnp.isfinite(out2.mean_r).all())
     assert bool(jnp.isfinite(out2.cov_rr).all())
-    print(f"dryrun_multichip OK: mesh={dict(m.shape)} B={B} N={N} M={M}")
+
+    # unknown-association sharded tick (pmin first-hit gating)
+    ustep = blocked_ekf.make_sharded_unknown_step(cfg, m, B, M)
+    out3 = ustep(out2, twist, zs, valid, Q, R)
+    jax.block_until_ready(out3)
+    assert bool(jnp.isfinite(out3.mean_r).all())
+
+    # config-5 path: pose-graph loop closure + distributed Schur refinement
+    from . import megamap
+    _, refined = megamap.run_megamap(
+        N=4 * n_map, T=8, obs_per_pose=2, mesh=m, pg_iters=2, gn_iters=1,
+        cg_iters=8)
+    jax.block_until_ready(refined)
+    assert bool(jnp.isfinite(refined.poses).all())
+
+    print(f"dryrun_multichip OK: mesh={dict(m.shape)} B={B} N={N} M={M} "
+          f"(blocked known/unknown EKF + pose graph + sharded Schur)")

@@ -1,0 +1,161 @@
+"""Config-5 workload: huge landmark maps refined across the mesh.
+
+BASELINE.json: "50,000-landmark map partitioned across 2+ hosts, distributed
+Schur-complement refinement + pose-graph loop closure". A dense covariance
+at that scale is physically impossible (a (2N)^2 float32 Sigma is 40 GB), so
+the large-map estimator switches to the information/batch form — the classic
+two-stage pipeline:
+
+1. **pose-graph loop closure** (models.pose_graph, matrix-free CG): drifted
+   keyframe odometry + loop-closure constraints -> globally consistent
+   keyframes;
+2. **distributed Schur bundle refinement** (parallel.schur_dist): jointly
+   polish all keyframes + landmarks, with landmarks and their observations
+   sharded over the 'map' axis and one (T, 3) psum per CG matvec.
+
+Multi-host: the same program runs under ``jax.distributed.initialize``
+(parallel.mesh.initialize_multihost) with the 'map' axis spanning hosts —
+the psum compiles to ICI within a host and DCN across.
+
+This module synthesizes the workload (keyframe loop over a landmark field,
+drifted odometry, loop-closure edge, range-bearing observations) and runs
+the two stages; used by tests (tiny), the multi-chip dryrun, and bench.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import pose_graph as pg
+from ..models import schur
+from ..ops import se2
+from . import schur_dist
+from .mesh import make_mesh
+
+
+class MegaMapProblem(NamedTuple):
+    truth_poses: jnp.ndarray   # (T, 3)
+    truth_lms: jnp.ndarray     # (N, 2)
+    graph: pg.PoseGraph        # odometry + loop-closure edges, drifted init
+    bundle: schur.BundleProblem
+
+
+def synthesize(N: int, T: int, obs_per_pose: int, seed: int = 0,
+               drift: float = 0.002, meas_noise: float = 1e-3,
+               dtype=jnp.float32) -> MegaMapProblem:
+    """Build a loop trajectory over an N-landmark grid with drifted odometry,
+    one loop-closure edge, and a sweep observation schedule covering every
+    landmark (host-side numpy; run once)."""
+    rng = np.random.default_rng(seed)
+    side = math.ceil(math.sqrt(N))
+    ii = np.arange(N)
+    extent = max(side, 4) * 1.0
+    lms = np.stack([(ii % side + 0.5 - side / 2) * (extent / side) * 2,
+                    (ii // side + 0.5 - side / 2) * (extent / side) * 2],
+                   axis=-1)
+
+    th = np.linspace(0, 2 * np.pi, T, endpoint=False)
+    radius = extent * 0.5
+    truth = np.stack([th + np.pi / 2,
+                      radius * np.cos(th), radius * np.sin(th)], -1)
+
+    # drifted odometry
+    odo = [truth[0]]
+    rels = []
+    for t in range(T - 1):
+        Ti = se2.from_pose(jnp.asarray(truth[t]))
+        Tj = se2.from_pose(jnp.asarray(truth[t + 1]))
+        rel = np.asarray(se2.to_pose(se2.compose(se2.inv(Ti), Tj)))
+        noisy = rel + np.array([drift + rng.normal(0, drift / 4),
+                                rng.normal(0, drift / 4),
+                                rng.normal(0, drift / 4)])
+        rels.append(noisy)
+        Tn = se2.compose(se2.from_pose(jnp.asarray(odo[-1])),
+                         se2.from_pose(jnp.asarray(noisy)))
+        odo.append(np.asarray(se2.to_pose(Tn)))
+    odo = np.stack(odo)
+    rels = np.stack(rels)
+
+    # pose graph: odometry chain + one loop closure (last -> first, truth)
+    ei = np.arange(T - 1, dtype=np.int32)
+    info_odo = np.eye(3) * (1.0 / drift) ** 2
+    Tl = se2.from_pose(jnp.asarray(truth[-1]))
+    T0 = se2.from_pose(jnp.asarray(truth[0]))
+    z_loop = np.asarray(se2.to_pose(se2.compose(se2.inv(Tl), T0)))
+    graph = pg.PoseGraph(
+        poses=jnp.asarray(odo, dtype),
+        edge_i=jnp.concatenate([jnp.asarray(ei), jnp.array([T - 1],
+                                                           jnp.int32)]),
+        edge_j=jnp.concatenate([jnp.asarray(ei + 1), jnp.array([0],
+                                                               jnp.int32)]),
+        meas=jnp.asarray(np.concatenate([rels, z_loop[None]]), dtype),
+        info=jnp.asarray(np.concatenate(
+            [np.broadcast_to(info_odo, (T - 1, 3, 3)),
+             (np.eye(3) * 1e6)[None]]), dtype),
+        weight=jnp.ones(T, dtype),
+    )
+
+    # observations: sweep so every landmark is seen >= 2 poses
+    obs_t, obs_j, obs_z = [], [], []
+    for t in range(T):
+        for k in range(obs_per_pose):
+            j = (t * obs_per_pose + k) % N
+            for tt in (t, (t + 1) % T):    # two sightings per landmark slot
+                dx = lms[j, 0] - truth[tt, 1]
+                dy = lms[j, 1] - truth[tt, 2]
+                rr = np.hypot(dx, dy)
+                brg = np.arctan2(dy, dx) - truth[tt, 0]
+                obs_t.append(tt)
+                obs_j.append(j)
+                obs_z.append([rr + rng.normal(0, meas_noise),
+                              np.arctan2(np.sin(brg), np.cos(brg))
+                              + rng.normal(0, meas_noise)])
+    M = len(obs_t)
+
+    bundle = schur.BundleProblem(
+        poses=jnp.asarray(odo, dtype),     # replaced by stage-1 output
+        landmarks=jnp.asarray(
+            lms + rng.normal(0, 0.05, lms.shape), dtype),
+        odo_meas=jnp.asarray(rels, dtype),
+        odo_info=jnp.asarray(info_odo, dtype),
+        obs_t=jnp.asarray(obs_t, jnp.int32),
+        obs_j=jnp.asarray(obs_j, jnp.int32),
+        obs_z=jnp.asarray(obs_z, dtype),
+        obs_info=jnp.asarray(np.eye(2) / meas_noise ** 2, dtype),
+        obs_w=jnp.ones(M, dtype),
+        anchor_w=jnp.asarray(1e8, dtype),
+    )
+    return MegaMapProblem(
+        truth_poses=jnp.asarray(truth, dtype),
+        truth_lms=jnp.asarray(lms, dtype),
+        graph=graph, bundle=bundle)
+
+
+def run_megamap(N: int = 1024, T: int = 64, obs_per_pose: int = 16,
+                mesh=None, pg_iters: int = 8, gn_iters: int = 4,
+                cg_iters: int = 48, dtype=jnp.float32):
+    """Two-stage refinement; returns (problem, refined BundleProblem)."""
+    if mesh is None:
+        mesh = make_mesh(jax.devices()[:1], data=1)
+    n_map = mesh.shape["map"]
+
+    prob = synthesize(N, T, obs_per_pose, dtype=dtype)
+
+    # stage 1: loop closure on the pose graph (matrix-free CG)
+    g = jax.jit(lambda gg: pg.optimize(gg, iters=pg_iters, solve="cg",
+                                       cg_iters=cg_iters))(prob.graph)
+
+    # stage 2: distributed Schur bundle refinement from the closed poses
+    bundle = prob.bundle._replace(poses=g.poses)
+    part = schur_dist.partition_problem(bundle, n_map)
+    step = schur_dist.make_sharded_gn(
+        mesh, T=T, N=N, M=part.obs_t.shape[0], cg_iters=cg_iters)
+    out = part
+    for _ in range(gn_iters):
+        out = step(out)
+    return prob, out

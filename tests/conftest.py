@@ -4,6 +4,13 @@ Tests run on CPU with 8 virtual devices so the multi-chip sharding paths
 (``jax.sharding.Mesh`` + ``shard_map``) are exercised without TPU hardware,
 and with x64 enabled so reference-parity tests can check against float64
 ground truth (the C++ reference is all-double).
+
+IMPORTANT: the axon sitecustomize opens a TPU-tunnel session in EVERY python
+process at interpreter startup (before this file runs), and concurrent
+sessions serialize against each other — a pytest run can starve a TPU
+benchmark running in parallel. To run tests while the chip is busy, invoke
+as ``PALLAS_AXON_POOL_IPS= python -m pytest ...`` (empty var skips the
+tunnel registration entirely; tests are CPU-only anyway).
 """
 
 import os

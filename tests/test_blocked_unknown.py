@@ -1,0 +1,68 @@
+"""Distributed unknown-association EKF vs the dense single-array filter."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding
+
+from shermbot_navigation_tpu.models import ekf_slam as ekf
+from shermbot_navigation_tpu.parallel import blocked_ekf, mesh as mesh_lib
+
+from test_blocked_ekf import dense_to_blocked
+
+N = 8
+M = 3
+B = 2
+
+
+@pytest.mark.parametrize("map_devices", [1, 2, 4])
+def test_unknown_matches_dense(map_devices):
+    dtype = jnp.float64
+    cfg = ekf.EKFConfig(num_landmarks=N)
+    Q = jnp.diag(jnp.array([0.1, 0.1, 0.1], dtype))
+    R = jnp.diag(jnp.array([0.001, 0.001], dtype))
+
+    rng = np.random.default_rng(11)
+    twists = jnp.asarray(rng.uniform(-0.05, 0.05, (B, 5, 3)), dtype)
+    # measurements around a few fixed world points so revisits MATCH and
+    # fresh points spawn NEW landmarks, exercising every branch
+    world_pts = rng.uniform(-1, 1, (5, 2))
+    zs = np.zeros((B, 5, M, 2))
+    for b in range(B):
+        for t in range(5):
+            for k in range(M):
+                p = world_pts[(t + k) % 5] + rng.normal(0, 1e-4, 2)
+                zs[b, t, k] = [np.hypot(*p), np.arctan2(p[1], p[0])]
+    zs = jnp.asarray(zs, dtype)
+    valid = jnp.asarray(rng.uniform(size=(B, 5, M)) < 0.9)
+
+    # dense oracle
+    dense_states = []
+    for b in range(B):
+        st = ekf.init(cfg, jnp.zeros(3, dtype), dtype=dtype)
+        for t in range(5):
+            st = ekf.step(cfg, st, twists[b, t], zs[b, t], valid[b, t], Q, R)
+        dense_states.append(st)
+
+    mesh = mesh_lib.make_mesh(jax.devices()[: 2 * map_devices], data=2)
+    step = blocked_ekf.make_sharded_unknown_step(cfg, mesh, B, M)
+    bst = blocked_ekf.init(cfg, B, dtype=dtype)
+    specs = blocked_ekf.state_sharding(mesh)
+    bst = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), bst, specs)
+    for t in range(5):
+        bst = step(bst, twists[:, t], zs[:, t], valid[:, t], Q, R)
+
+    for b in range(B):
+        d = dense_states[b]
+        mean_r, mean_m, cov_rr, cov_rm, cov_mm = dense_to_blocked(d)
+        assert int(bst.n_seen[b]) == int(d.n_seen), (
+            int(bst.n_seen[b]), int(d.n_seen))
+        np.testing.assert_allclose(bst.mean_r[b], mean_r, atol=1e-8)
+        ns = int(d.n_seen)
+        np.testing.assert_allclose(bst.mean_m[b][:ns], mean_m[:ns],
+                                   atol=1e-8)
+        np.testing.assert_allclose(bst.cov_rr[b], cov_rr, atol=1e-8)
+        np.testing.assert_allclose(bst.cov_rm[b][:, :ns], cov_rm[:, :ns],
+                                   atol=1e-8)

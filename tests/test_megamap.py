@@ -1,0 +1,39 @@
+"""Config-5 pipeline: loop closure + distributed Schur on a sharded map."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shermbot_navigation_tpu.parallel import megamap, mesh as mesh_lib
+
+
+def test_megamap_two_stage_reduces_error():
+    mesh = mesh_lib.make_mesh(jax.devices()[:4], data=1, map_=4)
+    prob, out = megamap.run_megamap(
+        N=64, T=24, obs_per_pose=4, mesh=mesh, pg_iters=8, gn_iters=4,
+        cg_iters=64, dtype=jnp.float64)
+
+    truth_p = np.asarray(prob.truth_poses)
+    drifted = np.asarray(prob.graph.poses)     # pre-refinement odometry
+    refined = np.asarray(out.poses)
+
+    e_before = np.sqrt(np.mean(
+        np.sum((drifted[:, 1:] - truth_p[:, 1:]) ** 2, -1)))
+    e_after = np.sqrt(np.mean(
+        np.sum((refined[:, 1:] - truth_p[:, 1:]) ** 2, -1)))
+    assert e_after < e_before * 0.5, (e_before, e_after)
+
+    lm_err = np.sqrt(np.mean(np.sum(
+        (np.asarray(out.landmarks) - np.asarray(prob.truth_lms)) ** 2, -1)))
+    assert lm_err < 0.05, lm_err
+
+
+def test_megamap_shard_invariance():
+    outs = []
+    for n in (1, 4):
+        mesh = mesh_lib.make_mesh(jax.devices()[:n], data=1, map_=n)
+        _, out = megamap.run_megamap(
+            N=32, T=16, obs_per_pose=4, mesh=mesh, pg_iters=4, gn_iters=2,
+            cg_iters=64, dtype=jnp.float64)
+        outs.append(np.asarray(out.poses))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-8)
