@@ -556,7 +556,7 @@ def step(config: EKFConfig, state: EKFState, twist, zs, z_valid, Q, R
 
     (state, _), _ = jax.lax.scan(
         body, (state, jnp.bool_(False)),
-        (jnp.asarray(zs), jnp.asarray(z_valid)))
+        (jnp.asarray(zs), jnp.asarray(z_valid)), unroll=True)
     return state
 
 
@@ -590,5 +590,5 @@ def known_association_step(config: EKFConfig, state: EKFState, twist, zs,
 
     state, _ = jax.lax.scan(
         body, state, (jnp.asarray(zs), jnp.asarray(z_valid),
-                      jnp.asarray(z_ids)))
+                      jnp.asarray(z_ids)), unroll=True)
     return state

@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from .clustering import Clusters
+from .smallalg import eigh4_jacobi, solve4
 
 # pin full-f32 matmuls on TPU (default demotes to bf16; the moment matrix
 # and Y-chain are too ill-conditioned for 8 mantissa bits)
@@ -78,8 +79,10 @@ def _fit_one(pts, count, valid):
          [0.5, 0.0, 0.0, 0.0]], dt)
     Hinv = Hinv.at[3, 3].set(-2.0 * z_bar)
 
-    # eigendecomposition of M = V s^2 V^T  (same V as the SVD of Z)
-    lam, V = jnp.linalg.eigh(M)           # ascending
+    # eigendecomposition of M = V s^2 V^T  (same V as the SVD of Z).
+    # Closed-form Jacobi (ops/smallalg.py): jnp.linalg.eigh on 4x4s inside
+    # the per-tick perception loop is orders of magnitude slower on TPU.
+    lam, V = eigh4_jacobi(M)              # ascending
     lam = jnp.maximum(lam, 0.0)
     s = jnp.sqrt(lam)
     sigma4 = s[0]
@@ -91,7 +94,7 @@ def _fit_one(pts, count, valid):
     Y = jnp.matmul(V * s[None, :], V.T, precision=PRECISION)
     Q = jnp.matmul(jnp.matmul(Y, Hinv, precision=PRECISION), Y,
                    precision=PRECISION)
-    eq, EV = jnp.linalg.eigh(Q)           # ascending
+    eq, EV = eigh4_jacobi(Q)              # ascending
     pos = eq > 0
     # smallest positive eigenvalue; reference default index 0 if none positive
     big = jnp.where(pos, eq, jnp.inf)
@@ -99,7 +102,7 @@ def _fit_one(pts, count, valid):
     Astar = EV[:, k]
     # A = solve(Y, Astar); guard the solve for the untaken branch
     Ysafe = Y + (sigma4 < 1e-12) * jnp.eye(4, dtype=dt)
-    A_gen = jnp.linalg.solve(Ysafe, Astar)
+    A_gen = solve4(Ysafe, Astar)
 
     A = jnp.where(sigma4 < 1e-12, A_null, A_gen)
 

@@ -94,7 +94,10 @@ def slam_tick(scn: ScenarioConfig, params: tw.WorldParams, Q, R,
     def sim_body(wst, k):
         return tw.step_dynamics(wcfg, params, wst, cmd, scn.dt, k), None
 
-    world, _ = jax.lax.scan(sim_body, state.world, jnp.stack(subkeys))
+    # unroll: a handful of iterations of straight-line code beats a nested
+    # device loop inside the outer tick scan
+    world, _ = jax.lax.scan(sim_body, state.world, jnp.stack(subkeys),
+                            unroll=True)
     obs = tw.observe(wcfg, params, world, k_obs)
 
     # --- odometry from commanded joint states (ref slam.cpp:264-265)

@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..ops import se2
+from ..ops.smallalg import solve3
 
 
 def ate(est_xy, true_xy):
@@ -52,5 +53,7 @@ def nees(est_pose, true_pose, cov3):
     ``cov3``: (..., 3, 3) robot-block covariance."""
     e = jnp.asarray(est_pose) - jnp.asarray(true_pose)
     e = e.at[..., 0].set(se2.normalize_angle(e[..., 0]))
-    sol = jnp.linalg.solve(jnp.asarray(cov3), e[..., None])[..., 0]
+    # closed-form 3x3 solve: jnp.linalg.solve on tiny systems inside scan
+    # is ~2600x slower on TPU (see ops/smallalg.py)
+    sol = solve3(jnp.asarray(cov3), e)
     return jnp.sum(e * sol, axis=-1)
