@@ -29,13 +29,37 @@ def main():
     dz = jnp.ones(2, jnp.float32)
     mean = jnp.zeros(D, jnp.float32)
 
+    print("compiling single pallas call...", file=sys.stderr, flush=True)
     g, gm = fused_kalman_update(cov, sht, psi_inv, dz, mean)
     w, wm = reference_kalman_update(cov, sht, psi_inv, dz, mean)
     err = float(jnp.abs(g - w).max())
 
-    tp = time_fn(fused_kalman_update, cov, sht, psi_inv, dz, mean, iters=20)
-    tx = time_fn(jax.jit(reference_kalman_update), cov, sht, psi_inv, dz,
-                 mean, iters=20)
+    # Amortize the host->TPU dispatch RTT (~27 ms through the tunnel) by
+    # chaining ITERS kernel applications inside ONE jitted scan.
+    ITERS = int(os.environ.get('KERNEL_ITERS', '10'))
+
+    @jax.jit
+    def loop_pallas(cov, mean):
+        def body(c, _):
+            cv, mn = fused_kalman_update(c[0], sht, psi_inv, dz, c[1])
+            return (cv, mn), None
+        (cv, mn), _ = jax.lax.scan(body, (cov, mean), None, length=ITERS)
+        return cv, mn
+
+    @jax.jit
+    def loop_xla(cov, mean):
+        def body(c, _):
+            cv, mn = reference_kalman_update(c[0], sht, psi_inv, dz, c[1])
+            return (cv, mn), None
+        (cv, mn), _ = jax.lax.scan(body, (cov, mean), None, length=ITERS)
+        return cv, mn
+
+    print("compiling pallas loop...", file=sys.stderr, flush=True)
+    tp = time_fn(loop_pallas, cov, mean, iters=5)
+    print("compiling xla loop...", file=sys.stderr, flush=True)
+    tx = time_fn(loop_xla, cov, mean, iters=5)
+    tp = {"best_s": tp["best_s"] / ITERS}
+    tx = {"best_s": tx["best_s"] / ITERS}
     bw = 2 * D * D * 4 / tp["best_s"] / 1e9
 
     C, P = 256, 64
@@ -44,8 +68,29 @@ def main():
     gm_, gc, gz = circle_moments(pts, cnts)
     wm_, wc, wz = reference_circle_moments(pts, cnts)
     merr = float(jnp.abs(gm_ - wm_).max())
-    t1 = time_fn(circle_moments, pts, cnts, iters=20)
-    t2 = time_fn(jax.jit(reference_circle_moments), pts, cnts, iters=20)
+    ITERS2 = int(os.environ.get('KERNEL_ITERS', '10'))
+
+    @jax.jit
+    def loop_m(pts):
+        def body(c, _):
+            M, cent, zb = circle_moments(c, cnts)
+            return c + 1e-12 * zb[0], M
+        c, Ms = jax.lax.scan(body, pts, None, length=ITERS2)
+        return Ms[-1]
+
+    @jax.jit
+    def loop_mx(pts):
+        def body(c, _):
+            M, cent, zb = reference_circle_moments(c, cnts)
+            return c + 1e-12 * zb[0], M
+        c, Ms = jax.lax.scan(body, pts, None, length=ITERS2)
+        return Ms[-1]
+
+    print("compiling moments loops...", file=sys.stderr, flush=True)
+    t1 = time_fn(loop_m, pts, iters=5)
+    t2 = time_fn(loop_mx, pts, iters=5)
+    t1 = {"best_s": t1["best_s"] / ITERS2}
+    t2 = {"best_s": t2["best_s"] / ITERS2}
 
     print(json.dumps({
         "metric": "pallas_kernels",

@@ -42,17 +42,24 @@ def _kernel(cov_ref, sht_full_ref, psi_inv_ref, dz_ref, mean_ref,
     mean_ref:     (TILE, 1)   mean slice as a column
     sht_tile_ref: (TILE, 2)   this tile's rows of Sigma H^T
     """
+    # NOTE: preferred_element_type only pins the ACCUMULATOR; the MXU still
+    # multiplies f32 inputs in bf16 unless precision=HIGHEST. The rank-2
+    # contraction is K=2 — scalar-ish work where full precision is free.
+    prec = jax.lax.Precision.HIGHEST
     psi_inv = psi_inv_ref[:]                      # (2, 2)
     k_tile = jnp.dot(sht_tile_ref[:], psi_inv,
-                     preferred_element_type=jnp.float32)   # (TILE, 2)
+                     preferred_element_type=jnp.float32,
+                     precision=prec)              # (TILE, 2)
     dz = dz_ref[0, :]                             # (2,)
-    mean_out_ref[:] = mean_ref[:] + (
-        k_tile @ dz[:, None]).astype(mean_ref.dtype)
+    mean_out_ref[:] = mean_ref[:] + jnp.dot(
+        k_tile, dz[:, None], preferred_element_type=jnp.float32,
+        precision=prec).astype(mean_ref.dtype)
     # cov_tile - K_tile @ SHt_full^T: (TILE,2) @ (2,D)
     cov_out_ref[:] = cov_ref[:] - jax.lax.dot_general(
         k_tile, sht_full_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=prec,
     ).astype(cov_ref.dtype)
 
 
