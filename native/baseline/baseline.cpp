@@ -315,6 +315,30 @@ struct World {
     drive_step(geom, &truth, cwl + ul * el, cwr + ur * er);
   }
 
+  // 360-ray lidar scan (correct geometry, matching the engine's default)
+  void lidar(std::vector<double>* ranges) const {
+    const int n = 360;
+    const double rmax = 1.0;   // scan_params.yaml maximum_range
+    ranges->assign(n, rmax + 1.0);
+    for (int k = 0; k < n; ++k) {
+      double ang = truth.th + 2.0 * kPi * k / n;
+      double ux = std::cos(ang), uy = std::sin(ang);
+      double best = rmax + 1.0;
+      for (size_t i = 0; i < tx.size(); ++i) {
+        double px = truth.x - tx[i], py = truth.y - ty[i];
+        double b = px * ux + py * uy;
+        double c = px * px + py * py - tube_rad * tube_rad;
+        double disc = b * b - c;
+        if (disc < 0) continue;
+        double sq = std::sqrt(disc);
+        double t = -b - sq;
+        if (t <= 0) t = -b + sq;
+        if (t > 0 && t < best) best = t;
+      }
+      (*ranges)[k] = best;
+    }
+  }
+
   // relative landmark markers with range gate + constant tube_var offset
   void fake_sensor(std::vector<double>* mx, std::vector<double>* my,
                    std::vector<char>* valid) const {
@@ -333,11 +357,194 @@ struct World {
   }
 };
 
+// ----------------------------------------------------------------------
+// Perception: clustering + inscribed-angle classify + Hyperaccurate fit
+// (reference circle_fit_library semantics; 4x4 eigen via cyclic Jacobi)
+// ----------------------------------------------------------------------
+struct Pt { double x, y; };
+
+std::vector<std::vector<Pt>> cluster_scan(const std::vector<double>& r,
+                                          double minR, double maxR) {
+  const int n = (int)r.size();
+  const double thr = 0.04;
+  std::vector<std::vector<Pt>> clusters;
+  std::vector<Pt> cur;
+  auto in_range = [&](int i) { return r[i] >= minR && r[i] <= maxR; };
+  for (int i = 0; i < n; ++i) {
+    if (!in_range(i)) continue;
+    double ang = 2.0 * kPi * i / n;
+    Pt p{r[i] * std::cos(ang), r[i] * std::sin(ang)};
+    int nx = (i + 1) % n;
+    if (std::fabs(r[i] - r[nx]) < thr) {
+      if (nx < i) {  // wraparound: move point to cluster 0, drop the rest
+        if (!clusters.empty()) clusters[0].push_back(p);
+        cur.clear();
+        break;
+      }
+      cur.push_back(p);
+    } else {
+      cur.push_back(p);
+      clusters.push_back(cur);
+      cur.clear();
+    }
+  }
+  std::vector<std::vector<Pt>> out;
+  for (auto& c : clusters)
+    if (c.size() >= 3) out.push_back(c);
+  return out;
+}
+
+bool classify_circle(const std::vector<Pt>& c) {
+  if (c.size() < 3) return false;
+  const Pt& p2 = c.front();
+  const Pt& p3 = c.back();
+  std::vector<double> angs;
+  for (size_t i = 1; i + 1 < c.size(); ++i) {
+    const Pt& p1 = c[i];
+    double num = p2.y * (p1.x - p3.x) + p1.y * (p3.x - p2.x) +
+                 p3.y * (p2.x - p1.x);
+    double den = (p2.x - p1.x) * (p1.x - p3.x) +
+                 (p2.y - p1.y) * (p1.y - p3.y);
+    angs.push_back(std::atan2(num, den) * 180.0 / kPi);
+  }
+  if (angs.empty()) return false;
+  double mean = 0;
+  for (double a : angs) mean += a / angs.size();
+  double var = 0;
+  for (double a : angs) var += (a - mean) * (a - mean);
+  return std::sqrt(var / angs.size()) < 10.0;
+}
+
+// cyclic Jacobi eigendecomposition for symmetric 4x4
+void eigh4(double A[4][4], double lam[4], double V[4][4]) {
+  for (int i = 0; i < 4; ++i)
+    for (int j = 0; j < 4; ++j) V[i][j] = (i == j) ? 1.0 : 0.0;
+  for (int sweep = 0; sweep < 12; ++sweep) {
+    for (int p = 0; p < 3; ++p)
+      for (int q = p + 1; q < 4; ++q) {
+        double apq = A[p][q];
+        if (std::fabs(apq) < 1e-300) continue;
+        double theta = 0.5 * std::atan2(2 * apq, A[q][q] - A[p][p]);
+        double cth = std::cos(theta), sth = std::sin(theta);
+        for (int k = 0; k < 4; ++k) {
+          double akp = A[k][p], akq = A[k][q];
+          A[k][p] = cth * akp - sth * akq;
+          A[k][q] = sth * akp + cth * akq;
+        }
+        for (int k = 0; k < 4; ++k) {
+          double apk = A[p][k], aqk = A[q][k];
+          A[p][k] = cth * apk - sth * aqk;
+          A[q][k] = sth * apk + cth * aqk;
+        }
+        for (int k = 0; k < 4; ++k) {
+          double vkp = V[k][p], vkq = V[k][q];
+          V[k][p] = cth * vkp - sth * vkq;
+          V[k][q] = sth * vkp + cth * vkq;
+        }
+      }
+  }
+  for (int i = 0; i < 4; ++i) lam[i] = A[i][i];
+}
+
+bool fit_circle(const std::vector<Pt>& c, double* ox, double* oy,
+                double* orad) {
+  size_t n = c.size();
+  if (n < 4) return false;
+  double cx = 0, cy = 0;
+  for (auto& p : c) { cx += p.x / n; cy += p.y / n; }
+  double zb = 0;
+  std::vector<double> xs(n), ys(n), zs(n);
+  for (size_t i = 0; i < n; ++i) {
+    xs[i] = c[i].x - cx;
+    ys[i] = c[i].y - cy;
+    zs[i] = xs[i] * xs[i] + ys[i] * ys[i];
+    zb += zs[i] / n;
+  }
+  double M[4][4] = {{0}};
+  for (size_t i = 0; i < n; ++i) {
+    double row[4] = {zs[i], xs[i], ys[i], 1.0};
+    for (int a = 0; a < 4; ++a)
+      for (int b = 0; b < 4; ++b) M[a][b] += row[a] * row[b];
+  }
+  double Mw[4][4];
+  std::memcpy(Mw, M, sizeof(M));
+  double lam[4], V[4][4];
+  eigh4(Mw, lam, V);
+  // smallest eigenvalue / corresponding vector
+  int imin = 0;
+  for (int i = 1; i < 4; ++i)
+    if (lam[i] < lam[imin]) imin = i;
+  double A[4];
+  if (lam[imin] < 1e-24) {           // sigma4 = sqrt(lam) < 1e-12
+    for (int i = 0; i < 4; ++i) A[i] = V[i][imin];
+  } else {
+    // Y = V sqrt(lam) V^T ; Q = Y Hinv Y ; pick smallest positive eig of Q
+    double S[4];
+    for (int i = 0; i < 4; ++i) S[i] = std::sqrt(std::max(lam[i], 0.0));
+    double Y[4][4] = {{0}};
+    for (int a = 0; a < 4; ++a)
+      for (int b = 0; b < 4; ++b)
+        for (int k = 0; k < 4; ++k) Y[a][b] += V[a][k] * S[k] * V[b][k];
+    double Hinv[4][4] = {{0, 0, 0, 0.5},
+                         {0, 1, 0, 0},
+                         {0, 0, 1, 0},
+                         {0.5, 0, 0, -2.0 * zb}};
+    double YH[4][4] = {{0}}, Q[4][4] = {{0}};
+    for (int a = 0; a < 4; ++a)
+      for (int b = 0; b < 4; ++b)
+        for (int k = 0; k < 4; ++k) YH[a][b] += Y[a][k] * Hinv[k][b];
+    for (int a = 0; a < 4; ++a)
+      for (int b = 0; b < 4; ++b)
+        for (int k = 0; k < 4; ++k) Q[a][b] += YH[a][k] * Y[k][b];
+    double ql[4], QV[4][4];
+    eigh4(Q, ql, QV);
+    int best = 0;
+    double bestv = 1e300;
+    for (int i = 0; i < 4; ++i)
+      if (ql[i] > 0 && ql[i] < bestv) { bestv = ql[i]; best = i; }
+    double Astar[4];
+    for (int i = 0; i < 4; ++i) Astar[i] = QV[i][best];
+    // solve Y A = Astar with Gauss elimination
+    Mat Ym(4, 4), vv(4, 1);
+    for (int a = 0; a < 4; ++a) {
+      vv(a, 0) = Astar[a];
+      for (int b = 0; b < 4; ++b) Ym(a, b) = Y[a][b];
+    }
+    Mat sol = mul(inv(Ym), vv);
+    for (int i = 0; i < 4; ++i) A[i] = sol(i, 0);
+  }
+  if (std::fabs(A[0]) < 1e-300) return false;
+  double a = -A[1] / (2 * A[0]), b = -A[2] / (2 * A[0]);
+  double R2 = (A[1] * A[1] + A[2] * A[2] - 4 * A[0] * A[3]) /
+              (4 * A[0] * A[0]);
+  *ox = a + cx;
+  *oy = b + cy;
+  *orad = std::sqrt(std::max(R2, 0.0));
+  return std::isfinite(*ox) && std::isfinite(*oy) && std::isfinite(*orad);
+}
+
+// full landmarks-node stage: scan -> detections (robot frame)
+void detect_landmarks(const std::vector<double>& scan,
+                      std::vector<double>* mx, std::vector<double>* my) {
+  mx->clear();
+  my->clear();
+  auto clusters = cluster_scan(scan, 0.05, 1.0);
+  for (auto& c : clusters) {
+    if (!classify_circle(c)) continue;
+    double x, y, r;
+    if (!fit_circle(c, &x, &y, &r)) continue;
+    if (r > 1.0) continue;
+    mx->push_back(x);
+    my->push_back(y);
+  }
+}
+
 struct Scenario {
   std::string name;
   std::vector<double> tx, ty;
   int num_landmarks;
   bool known_assoc;
+  bool use_lidar = false;
   int steps;
   double cmd_w, cmd_v;
   double max_range, tube_var, twist_noise, slip_min, slip_max;
@@ -374,6 +581,16 @@ Scenario get_scenario(const std::string& name) {
   if (name == "course12_noisy")
     return ring_scenario(name, 12, 0.9, 12, false, 600, w60, 0.08, 1.0,
                          0.001, 0.001, 0.9, 1.0);
+  if (name == "lidar20_full") {
+    Scenario s = ring_scenario(name, 10, 0.7, 20, false, 600, w60, 0.08,
+                               1.0, 0.001, 0.0, 0.95, 1.0);
+    for (int k = 0; k < 10; ++k) {
+      s.tx.push_back(1.3 * std::cos(2 * kPi * k / 10));
+      s.ty.push_back(1.3 * std::sin(2 * kPi * k / 10));
+    }
+    s.use_lidar = true;
+    return s;
+  }
   if (name == "stock6") {
     Scenario s = ring_scenario(name, 0, 0, 6, false, 500, 0.5, 0.1, 1.0,
                                0.001, 0.0, 0.9, 1.0);
@@ -448,7 +665,14 @@ int main(int argc, char** argv) {
       // measurements
       std::vector<double> mx, my;
       std::vector<char> valid;
-      world.fake_sensor(&mx, &my, &valid);
+      if (sc.use_lidar) {
+        std::vector<double> scan;
+        world.lidar(&scan);
+        detect_landmarks(scan, &mx, &my);
+        valid.assign(mx.size(), 1);
+      } else {
+        world.fake_sensor(&mx, &my, &valid);
+      }
 
       ekf.predict(dth, dx);
       bool stopped = false;

@@ -99,3 +99,32 @@ def test_unknown_association_parity(baseline_bin, tmp_path):
     err = np.sqrt(np.mean(np.sum((jax_slam - cpp_slam) ** 2, axis=-1)))
     assert err < 1e-3, f"ATE vs reference EKF = {err} m"
     assert int(rows[-1]["n_seen"]) == int(outs.n_seen[-1])
+
+
+def test_lidar_pipeline_parity(baseline_bin, tmp_path):
+    """Config 3 (scan -> cluster -> classify -> fit -> EKF), deterministic:
+    the full perception + estimation chain must match the C++ port. Both
+    use the geometrically-correct lidar (the reference's cone quirks are
+    opt-in, PARITY.md D6) and identical perception semantics; decisions are
+    discrete, so agreement here pins clustering boundaries, classifier
+    thresholds, fit algebra, and gating all at once."""
+    import dataclasses
+    from shermbot_navigation_tpu.pipeline.config import get_scenario
+    from shermbot_navigation_tpu.pipeline.driver import run_scenario
+
+    rows, stdout = run_cpp(baseline_bin, "lidar20_full", tmp_path)
+    cpp_true = np.array([[float(r["true_x"]), float(r["true_y"])]
+                         for r in rows])
+    cpp_slam = np.array([[float(r["slam_x"]), float(r["slam_y"])]
+                         for r in rows])
+
+    scn = dataclasses.replace(
+        get_scenario("lidar20_full"),
+        twist_noise=0.0, slip_min=0.975, slip_max=0.975, scan_noise=0.0)
+    outs = run_scenario(scn, jax.random.PRNGKey(0), jnp.float64)
+    jax_true = np.asarray(outs.true_pose[:, 1:])
+    jax_slam = np.asarray(outs.slam_pose[:, 1:])
+
+    np.testing.assert_allclose(jax_true, cpp_true, atol=1e-7)
+    err = np.sqrt(np.mean(np.sum((jax_slam - cpp_slam) ** 2, axis=-1)))
+    assert err < 1e-3, f"ATE vs reference EKF (lidar pipeline) = {err} m"
