@@ -84,6 +84,10 @@ class EKFConfig:
     analytic_init: bool = True         # f32-safe first-observation init
     wrap_innovation: bool = False      # reference does not wrap (PARITY.md)
     symmetrize: bool = True            # re-symmetrize Sigma after updates
+    # "first_hit": the reference's scan-order gating (SURVEY 2.4).
+    # "nearest": statistically-sound nearest-neighbor gating (quality mode;
+    # pair with chi-square gates like 5.99/13.8 and wrap_innovation=True).
+    assoc_mode: str = "first_hit"      
 
     @property
     def dim(self) -> int:
@@ -466,11 +470,17 @@ def associate(config: EKFConfig, state: EKFState, z, R) -> AssocResult:
     seen_mask = state.seen
     dist = jnp.where(seen_mask, dist, jnp.inf)
 
-    # First-hit scan: first slot with dist < new_gate.
-    lt_new = dist < config.new_gate
-    any_hit = jnp.any(lt_new)
-    first = jnp.argmax(lt_new).astype(jnp.int32)  # first True (0 if none)
-    first_match = dist[first] < config.match_gate
+    if config.assoc_mode == "nearest":
+        # nearest-neighbor gating: the minimum distance decides
+        first = jnp.argmin(dist).astype(jnp.int32)
+        any_hit = dist[first] < config.new_gate
+        first_match = dist[first] < config.match_gate
+    else:
+        # First-hit scan: first slot with dist < new_gate (reference).
+        lt_new = dist < config.new_gate
+        any_hit = jnp.any(lt_new)
+        first = jnp.argmax(lt_new).astype(jnp.int32)  # first True (0 if none)
+        first_match = dist[first] < config.match_gate
 
     no_seen = state.n_seen == 0
     capacity_full = state.n_seen >= N

@@ -69,15 +69,26 @@ class ScenarioConfig:
     seed: int = 0
     # command generator: ("circle", w, v) | ("waypoints_rect", x, y, w, h)
     command: Tuple = ("circle", 0.5, 0.1)
+    # EKF quality knobs (reference-faithful defaults; see EKFConfig)
+    match_gate: float = 0.01
+    new_gate: float = 60.0
+    wrap_innovation: bool = False
+    assoc_mode: str = "first_hit"
+    slip_mode: str = "reference"
 
     def world_config(self) -> WorldConfig:
         # only produce the observation channels this scenario consumes
         # (unused lax.scan outputs are not DCE'd by XLA)
         return WorldConfig(compute_scan=self.use_lidar,
-                           compute_fake_sensor=not self.use_lidar)
+                           compute_fake_sensor=not self.use_lidar,
+                           slip_mode=self.slip_mode)
 
     def ekf_config(self) -> EKFConfig:
-        return EKFConfig(num_landmarks=self.num_landmarks)
+        return EKFConfig(num_landmarks=self.num_landmarks,
+                         match_gate=self.match_gate,
+                         new_gate=self.new_gate,
+                         wrap_innovation=self.wrap_innovation,
+                         assoc_mode=self.assoc_mode)
 
     def world_params(self, dtype=jnp.float32) -> WorldParams:
         return default_params(
@@ -171,6 +182,24 @@ register(ScenarioConfig(
     max_range=1.0,
     steps=600,
     command=("circle", 2 * 3.14159265 / 60.0, 0.08),
+))
+
+# quality mode: config 3 with statistically-sound association — nearest
+# neighbor, chi-square gates (95% match / 99.9% new for 2 dof), wrapped
+# innovations. Demonstrates accuracy beyond the reference's algorithm.
+register(ScenarioConfig(
+    name="lidar20_tuned",
+    tubes=_ring(10, 0.7) + _ring(10, 1.3),
+    num_landmarks=24,
+    use_lidar=True,
+    known_association=False,
+    slip_min=0.95, slip_max=1.0, twist_noise=0.0, tube_var=0.001,
+    max_range=1.0,
+    steps=600,
+    command=("circle", 2 * 3.14159265 / 60.0, 0.08),
+    match_gate=0.2, new_gate=60.0, wrap_innovation=True,
+    assoc_mode="nearest",
+    slip_mode="multiplicative",   # physical slip: odometry really drifts
 ))
 
 # the reference's stock 6-tube world (tube_world_params.yaml)

@@ -61,6 +61,12 @@ class WorldConfig:
     collision_nudge: float = 1.0 / 50.0  # tube_world.cpp:387 "tangent/50"
     compute_scan: bool = True
     compute_fake_sensor: bool = True
+    # "reference": true wheel angle = commanded + u*eta (tube_world.cpp:528
+    #   quirk — the noise TELESCOPES, so odometry error stays bounded at
+    #   ~u*eta regardless of trajectory length; PARITY.md P7).
+    # "multiplicative": per-tick wheel increment scaled by eta — physical
+    #   slip whose odometry error accumulates (for quality evaluation).
+    slip_mode: str = "reference"
 
 
 class WorldParams(NamedTuple):
@@ -246,7 +252,11 @@ def step_dynamics(config: WorldConfig, params: WorldParams,
     slip_mean = (params.slip_min + params.slip_max) / 2.0
     slip_var = params.slip_max - slip_mean
     eta = slip_mean + slip_var * jax.random.normal(ks, (2,), dtype)
-    drive = dd.step(dparams, drive, cmd_wheels + u * eta)
+    if config.slip_mode == "multiplicative":
+        # physical slip: this tick's true increment is scaled by eta
+        drive = dd.step(dparams, drive, drive.wheels + u * dt * eta)
+    else:
+        drive = dd.step(dparams, drive, cmd_wheels + u * eta)
 
     return WorldState(drive=drive, cmd_wheels=cmd_wheels)
 

@@ -128,3 +128,22 @@ def test_lidar_pipeline_parity(baseline_bin, tmp_path):
     np.testing.assert_allclose(jax_true, cpp_true, atol=1e-7)
     err = np.sqrt(np.mean(np.sum((jax_slam - cpp_slam) ** 2, axis=-1)))
     assert err < 1e-3, f"ATE vs reference EKF (lidar pipeline) = {err} m"
+
+
+def test_tuned_mode_beats_odometry(baseline_bin, tmp_path):
+    """Quality mode (nearest-neighbor association + wrapped innovations +
+    physical slip): SLAM must beat drifting odometry by a wide margin —
+    the 'don't stop at parity' check."""
+    import dataclasses
+    from shermbot_navigation_tpu.pipeline import metrics
+    from shermbot_navigation_tpu.pipeline.config import get_scenario
+    from shermbot_navigation_tpu.pipeline.driver import run_scenario
+
+    scn = dataclasses.replace(get_scenario("lidar20_tuned"), steps=800)
+    outs = run_scenario(scn, jax.random.PRNGKey(0))
+    ate_slam = float(metrics.ate(outs.slam_pose[:, 1:],
+                                 outs.true_pose[:, 1:]))
+    ate_odom = float(metrics.ate(outs.odom_pose[:, 1:],
+                                 outs.true_pose[:, 1:]))
+    assert ate_slam < 0.05, ate_slam
+    assert ate_slam < ate_odom / 2, (ate_slam, ate_odom)

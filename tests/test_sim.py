@@ -133,3 +133,36 @@ class TestSensors:
         want = np.array([[0.4, 0.2], [-0.3, -0.5]])
         for w in want:
             assert np.min(np.linalg.norm(got - w, axis=1)) < 5e-3
+
+
+class TestSlipModes:
+    def test_reference_slip_telescopes(self):
+        """PARITY P7: reference slip noise telescopes — true-vs-commanded
+        wheel difference equals u*eta of the LAST tick only, so odometry
+        error stays bounded regardless of trajectory length."""
+        import dataclasses
+        cfg, params, st = mk(slip_min=0.9, slip_max=1.0,
+                             tube_locs=[[50.0, 50.0]])
+        cmd = jnp.array([0.0, 0.1, 0.0], jnp.float64)
+        key = jax.random.PRNGKey(3)
+        for _ in range(50):
+            key, k = jax.random.split(key)
+            st = tw.step_dynamics(cfg, params, st, cmd, 0.02, k)
+        u = 0.1 / float(params.wheel_rad)
+        gap = float(st.drive.wheels[0] - st.cmd_wheels[0])
+        assert 0.8 * u <= gap <= 1.2 * u  # ~one eta sample, NOT 50 accumulated
+
+    def test_multiplicative_slip_accumulates(self):
+        import dataclasses
+        cfg, params, st = mk(slip_min=0.9, slip_max=0.9,
+                             tube_locs=[[50.0, 50.0]])
+        cfg = dataclasses.replace(cfg, slip_mode="multiplicative")
+        cmd = jnp.array([0.0, 0.1, 0.0], jnp.float64)
+        key = jax.random.PRNGKey(3)
+        for _ in range(50):
+            key, k = jax.random.split(key)
+            st = tw.step_dynamics(cfg, params, st, cmd, 0.02, k)
+        # eta = 0.9 exactly: true wheels = 0.9 * commanded, growing gap
+        np.testing.assert_allclose(
+            np.asarray(st.drive.wheels), 0.9 * np.asarray(st.cmd_wheels),
+            rtol=1e-9)
