@@ -606,6 +606,40 @@ Scenario get_scenario(const std::string& name) {
 
 }  // namespace
 
+// Config-4 analog: the reference's dense O(D^3) EKF at N landmarks.
+// Times predict + M updates per tick (a couple of ticks is enough — this
+// is the baseline the blocked TPU engine is compared against).
+int run_bigmap(int N, int ticks, int M) {
+  Mat Q(3, 3), R(2, 2);
+  Q(0, 0) = Q(1, 1) = Q(2, 2) = 1e-4;
+  R(0, 0) = R(1, 1) = 1e-3;
+  EKF ekf;
+  ekf.init(N, Q, R, 2147483647.0);
+  // pre-seed all landmarks so updates hit the dense path
+  for (int j = 0; j < N; ++j) {
+    double ang = 2 * kPi * j / N;
+    ekf.init_landmark(j, 1.0 + 0.001 * j / N, ang);
+  }
+  auto t0 = std::chrono::steady_clock::now();
+  for (int t = 0; t < ticks; ++t) {
+    ekf.predict(0.01, 0.05);
+    for (int k = 0; k < M; ++k) {
+      int j = (t * M + k) % N;
+      double hr, hb;
+      Mat H;
+      ekf.zhat_H(j, &hr, &hb, &H);
+      ekf.update(j, hr + 1e-3, hb - 1e-3);
+    }
+  }
+  auto t1 = std::chrono::steady_clock::now();
+  double sec = std::chrono::duration<double>(t1 - t0).count();
+  std::printf(
+      "{\"metric\": \"cpp_dense_bigmap\", \"N\": %d, \"ticks\": %d, "
+      "\"M\": %d, \"sec_per_tick\": %.3f, \"ticks_per_sec\": %.4f}\n",
+      N, ticks, M, sec / ticks, ticks / sec);
+  return 0;
+}
+
 int main(int argc, char** argv) {
   std::string scen_name = "loop5_known";
   std::string traj_path;
@@ -620,6 +654,11 @@ int main(int argc, char** argv) {
       deterministic = true;
     else if (!std::strcmp(argv[i], "--repeat") && i + 1 < argc)
       repeat = std::atoi(argv[++i]);
+    else if (!std::strcmp(argv[i], "--bigmap") && i + 1 < argc) {
+      int N = std::atoi(argv[++i]);
+      int ticks = 3, M = 8;
+      return run_bigmap(N, ticks, M);
+    }
   }
   Scenario sc = get_scenario(scen_name);
 
