@@ -30,8 +30,7 @@ def main():
     t_synth = time.time() - t0
 
     # stage 1: loop closure
-    g_opt = jax.jit(lambda gg: pg.optimize(gg, iters=5, solve="cg",
-                                           cg_iters=48))
+    g_opt = jax.jit(lambda gg: pg.optimize(gg, iters=5, solve="dense"))
     g = g_opt(prob.graph)
     float(g.poses[0, 0])
     t0 = time.time()

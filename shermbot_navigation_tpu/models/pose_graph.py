@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import se2
+from ..ops.smallalg import solve3
 
 PRECISION = jax.lax.Precision.HIGHEST
 
@@ -109,26 +110,48 @@ def _hv(g: PoseGraph, Ji, Jj, v, anchor_w):
     return out
 
 
-def _cg(matvec, b, iters, tol=1e-10):
-    """Plain conjugate gradients on the pose-block vector space."""
+def _diag_blocks(g: PoseGraph, Ji, Jj, anchor_w, damping):
+    """Block-diagonal (T, 3, 3) of H for Jacobi preconditioning."""
+    T = g.poses.shape[0]
+    w = g.weight[:, None, None]
+    Oi = jnp.einsum("eij,ejk->eik", g.info, Ji, precision=PRECISION)
+    Oj = jnp.einsum("eij,ejk->eik", g.info, Jj, precision=PRECISION)
+    Hii = jnp.einsum("eji,ejk->eik", Ji, Oi, precision=PRECISION) * w
+    Hjj = jnp.einsum("eji,ejk->eik", Jj, Oj, precision=PRECISION) * w
+    D = jnp.zeros((T, 3, 3), g.poses.dtype)
+    D = D.at[g.edge_i].add(Hii)
+    D = D.at[g.edge_j].add(Hjj)
+    D = D.at[0].add(anchor_w * jnp.eye(3, dtype=g.poses.dtype))
+    return D + damping * jnp.eye(3, dtype=g.poses.dtype)
+
+
+def _cg(matvec, b, iters, precond=None):
+    """(Preconditioned) conjugate gradients on the pose-block space.
+
+    Chain-structured graphs are ill-conditioned (information propagates one
+    edge per iteration); block-Jacobi preconditioning with the 3x3 diagonal
+    blocks makes CG usable at long T."""
+    Minv = precond if precond is not None else (lambda r: r)
     x = jnp.zeros_like(b)
     r = b
-    p = r
-    rs = jnp.sum(r * r)
+    z = Minv(r)
+    p = z
+    rz = jnp.sum(r * z)
 
     def body(carry, _):
-        x, r, p, rs = carry
+        x, r, p, rz = carry
         Ap = matvec(p)
         denom = jnp.maximum(jnp.sum(p * Ap), 1e-30)
-        alpha = rs / denom
+        alpha = rz / denom
         x = x + alpha * p
         r = r - alpha * Ap
-        rs_new = jnp.sum(r * r)
-        beta = rs_new / jnp.maximum(rs, 1e-30)
-        p = r + beta * p
-        return (x, r, p, rs_new), None
+        z = Minv(r)
+        rz_new = jnp.sum(r * z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
 
-    (x, _, _, _), _ = jax.lax.scan(body, (x, r, p, rs), None, length=iters)
+    (x, _, _, _), _ = jax.lax.scan(body, (x, r, p, rz), None, length=iters)
     return x
 
 
@@ -161,7 +184,8 @@ def gauss_newton_step(g: PoseGraph, damping: float = 1e-6,
         dx = jnp.linalg.solve(Hm, -b.reshape(-1)).reshape(T, 3)
     elif solve == "cg":
         mv = lambda v: _hv(g, Ji, Jj, v, anchor_w) + damping * v
-        dx = _cg(mv, -b, cg_iters)
+        D = _diag_blocks(g, Ji, Jj, anchor_w, damping)
+        dx = _cg(mv, -b, cg_iters, precond=lambda r: solve3(D, r))
     else:
         raise ValueError(solve)
 

@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import se2
+from ..ops.smallalg import solve3
 from .pose_graph import PoseGraph, residuals as pg_residuals
 
 PRECISION = jax.lax.Precision.HIGHEST
@@ -190,24 +191,46 @@ def _hpl_u(prob, obs_terms, u):
         jnp.einsum("eji,ej->ei", Jp, OJlu, precision=PRECISION))
 
 
-def _cg(matvec, b, iters):
+def _cg(matvec, b, iters, precond=None):
+    Minv = precond if precond is not None else (lambda r: r)
     x = jnp.zeros_like(b)
     r = b
-    p = r
-    rs = jnp.sum(r * r)
+    z = Minv(r)
+    p = z
+    rz = jnp.sum(r * z)
 
     def body(carry, _):
-        x, r, p, rs = carry
+        x, r, p, rz = carry
         Ap = matvec(p)
-        alpha = rs / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+        alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
         x = x + alpha * p
         r = r - alpha * Ap
-        rs_new = jnp.sum(r * r)
-        p = r + (rs_new / jnp.maximum(rs, 1e-30)) * p
-        return (x, r, p, rs_new), None
+        z = Minv(r)
+        rz_new = jnp.sum(r * z)
+        p = z + (rz_new / jnp.maximum(rz, 1e-30)) * p
+        return (x, r, p, rz_new), None
 
-    (x, _, _, _), _ = jax.lax.scan(body, (x, r, p, rs), None, length=iters)
+    (x, _, _, _), _ = jax.lax.scan(body, (x, r, p, rz), None, length=iters)
     return x
+
+
+def _hpp_diag_blocks(prob, g, odo_terms, obs_terms, damping):
+    """(T, 3, 3) diagonal blocks of Hpp for Jacobi preconditioning."""
+    r_o, Ji, Jj = odo_terms
+    r_z, Jp, Jl, OJp, OJl = obs_terms
+    T = prob.poses.shape[0]
+    dtype = prob.poses.dtype
+    Oi = jnp.einsum("eij,ejk->eik", g.info, Ji, precision=PRECISION)
+    Oj = jnp.einsum("eij,ejk->eik", g.info, Jj, precision=PRECISION)
+    D = jnp.zeros((T, 3, 3), dtype)
+    D = D.at[g.edge_i].add(
+        jnp.einsum("eji,ejk->eik", Ji, Oi, precision=PRECISION))
+    D = D.at[g.edge_j].add(
+        jnp.einsum("eji,ejk->eik", Jj, Oj, precision=PRECISION))
+    D = D.at[prob.obs_t].add(
+        jnp.einsum("eji,ejk->eik", Jp, OJp, precision=PRECISION))
+    D = D.at[0].add(prob.anchor_w * jnp.eye(3, dtype=dtype))
+    return D + damping * jnp.eye(3, dtype=dtype)
 
 
 def gauss_newton_step(prob: BundleProblem, damping: float = 1e-6,
@@ -226,7 +249,8 @@ def gauss_newton_step(prob: BundleProblem, damping: float = 1e-6,
     rhs = -bp + _hpl_u(
         prob, obs_terms,
         jnp.einsum("nij,nj->ni", Hll_inv, bl, precision=PRECISION))
-    dp = _cg(Sv, rhs, cg_iters)
+    D = _hpp_diag_blocks(prob, g, odo_terms, obs_terms, damping)
+    dp = _cg(Sv, rhs, cg_iters, precond=lambda r: solve3(D, r))
 
     dl = -jnp.einsum(
         "nij,nj->ni", Hll_inv,

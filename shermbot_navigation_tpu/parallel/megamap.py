@@ -146,9 +146,12 @@ def run_megamap(N: int = 1024, T: int = 64, obs_per_pose: int = 16,
 
     prob = synthesize(N, T, obs_per_pose, dtype=dtype)
 
-    # stage 1: loop closure on the pose graph (matrix-free CG)
-    g = jax.jit(lambda gg: pg.optimize(gg, iters=pg_iters, solve="cg",
-                                       cg_iters=cg_iters))(prob.graph)
+    # stage 1: loop closure on the pose graph. Dense normal equations:
+    # chain graphs are too ill-conditioned for (even block-Jacobi
+    # preconditioned) CG — information crosses ~1 edge/iteration — while
+    # the (3T, 3T) dense solve is trivial for thousands of keyframes.
+    g = jax.jit(lambda gg: pg.optimize(gg, iters=pg_iters,
+                                       solve="dense"))(prob.graph)
 
     # stage 2: distributed Schur bundle refinement from the closed poses
     bundle = prob.bundle._replace(poses=g.poses)

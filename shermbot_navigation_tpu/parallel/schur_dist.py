@@ -32,6 +32,7 @@ from jax import shard_map
 
 from ..models import schur
 from ..models.ekf_slam import _inv2x2
+from ..ops.smallalg import solve3
 from ..models.pose_graph import PoseGraph, residuals as pg_residuals
 from ..ops import se2
 
@@ -194,24 +195,43 @@ def make_sharded_gn(mesh: Mesh, T: int, N: int, M: int,
             hpl_u_local(jnp.einsum("nij,nj->ni", Hll_inv, bl_local,
                                    precision=PRECISION)), "map")
 
-        # CG on the replicated pose space
+        # block-Jacobi preconditioner: 3x3 diagonal blocks of Hpp
+        # (odometry-chain part + local observation part psummed)
+        Dodo = jnp.zeros((Tn, 3, 3), dtype)
+        Oi = jnp.einsum("eij,ejk->eik", g.info, Ji, precision=PRECISION)
+        Oj = jnp.einsum("eij,ejk->eik", g.info, Jj, precision=PRECISION)
+        Dodo = Dodo.at[g.edge_i].add(
+            jnp.einsum("eji,ejk->eik", Ji, Oi, precision=PRECISION))
+        Dodo = Dodo.at[g.edge_j].add(
+            jnp.einsum("eji,ejk->eik", Jj, Oj, precision=PRECISION))
+        Dodo = Dodo.at[0].add(prob.anchor_w * jnp.eye(3, dtype=dtype))
+        OJp = jnp.einsum("ij,ejk->eik", prob.obs_info, Jp,
+                         precision=PRECISION) * prob.obs_w[:, None, None]
+        Dobs = jnp.zeros((Tn, 3, 3), dtype).at[prob.obs_t].add(
+            jnp.einsum("eji,ejk->eik", Jp, OJp, precision=PRECISION))
+        D = Dodo + jax.lax.psum(Dobs, "map") + damping * jnp.eye(
+            3, dtype=dtype)
+
+        # preconditioned CG on the replicated pose space
         def cg(matvec, b):
             x = jnp.zeros_like(b)
             r = b
-            p = r
-            rs = jnp.sum(r * r)
+            z = solve3(D, r)
+            p = z
+            rz = jnp.sum(r * z)
 
             def body(carry, _):
-                x, r, p, rs = carry
+                x, r, p, rz = carry
                 Ap = matvec(p)
-                alpha = rs / jnp.maximum(jnp.sum(p * Ap), 1e-30)
+                alpha = rz / jnp.maximum(jnp.sum(p * Ap), 1e-30)
                 x = x + alpha * p
                 r = r - alpha * Ap
-                rs_new = jnp.sum(r * r)
-                p = r + (rs_new / jnp.maximum(rs, 1e-30)) * p
-                return (x, r, p, rs_new), None
+                z = solve3(D, r)
+                rz_new = jnp.sum(r * z)
+                p = z + (rz_new / jnp.maximum(rz, 1e-30)) * p
+                return (x, r, p, rz_new), None
 
-            (x, _, _, _), _ = jax.lax.scan(body, (x, r, p, rs), None,
+            (x, _, _, _), _ = jax.lax.scan(body, (x, r, p, rz), None,
                                            length=cg_iters)
             return x
 
