@@ -38,17 +38,19 @@ def main():
     float(g.poses[0, 0])
     t_pg = time.time() - t0
 
-    # stage 2: one sharded Schur GN step
+    # stage 2: sharded Schur GN refinement (time the steady-state step)
+    GN_STEPS = int(os.environ.get("MEGAMAP_GN", "4"))
     bundle = prob.bundle._replace(poses=g.poses)
     part = schur_dist.partition_problem(bundle, n_map)
     step = schur_dist.make_sharded_gn(
         mesh, T=T, N=N, M=part.obs_t.shape[0], cg_iters=32)
-    out = step(part)
+    out = step(part)          # compile + first step
     float(out.poses[0, 0])
     t0 = time.time()
-    out = step(out)
+    for _ in range(GN_STEPS - 1):
+        out = step(out)
     float(out.poses[0, 0])
-    t_gn = time.time() - t0
+    t_gn = (time.time() - t0) / max(GN_STEPS - 1, 1)
 
     pe = np.asarray(out.poses[:, 1:] - prob.truth_poses[:, 1:])
     ate = float(np.sqrt(np.mean(np.sum(pe ** 2, -1))))
@@ -60,6 +62,7 @@ def main():
         "N_landmarks": N,
         "keyframes": T,
         "observations": int(part.obs_t.shape[0]),
+        "gn_steps": GN_STEPS,
         "posegraph_5iters_s": round(t_pg, 3),
         "schur_gn_step_s": round(t_gn, 3),
         "refined_pose_ate_m": round(ate, 4),

@@ -181,7 +181,14 @@ def gauss_newton_step(g: PoseGraph, damping: float = 1e-6,
         H = H.at[0, :, 0, :].add(anchor_w * jnp.eye(3, dtype=g.poses.dtype))
         Hm = H.reshape(3 * T, 3 * T)
         Hm = Hm + damping * jnp.eye(3 * T, dtype=g.poses.dtype)
-        dx = jnp.linalg.solve(Hm, -b.reshape(-1)).reshape(T, 3)
+        # Jacobi equilibration: exact in infinite precision, and keeps the
+        # f32 solve stable when information scales span decades (the TPU
+        # LU at (3T)^2 otherwise overflows to NaN on ill-conditioned
+        # long-chain graphs).
+        d = jnp.sqrt(jnp.maximum(jnp.diagonal(Hm), 1e-12))
+        Hs = Hm / d[:, None] / d[None, :]
+        y = jnp.linalg.solve(Hs, -b.reshape(-1) / d)
+        dx = (y / d).reshape(T, 3)
     elif solve == "cg":
         mv = lambda v: _hv(g, Ji, Jj, v, anchor_w) + damping * v
         D = _diag_blocks(g, Ji, Jj, anchor_w, damping)
@@ -191,7 +198,35 @@ def gauss_newton_step(g: PoseGraph, damping: float = 1e-6,
 
     poses = g.poses + dx
     poses = poses.at[:, 0].set(se2.normalize_angle(poses[:, 0]))
+    poses = gauge_project(poses, g.poses[0])
     return g._replace(poses=poses)
+
+
+def gauge_project(poses, target0, landmarks=None):
+    """Apply the rigid motion G with ``G o pose0 == target0`` to all poses
+    (and optionally landmarks).
+
+    The gauge anchor enters H only (its residual is zero at every
+    linearization point), so the anchor resists motion of pose 0 within a
+    step but ratifies wherever it lands — over many GN steps the solution
+    drifts along the near-free global-rotation mode (the only stiffness is
+    the finite anchor weight against huge observation gradients). Projecting
+    the gauge after each step removes the mode exactly: observation and
+    odometry residuals are invariant under G, and the anchor residual
+    becomes exactly zero."""
+    dth = se2.normalize_angle(target0[0] - poses[0, 0])
+    c, s = jnp.cos(dth), jnp.sin(dth)
+    p0 = poses[0, 1:]
+    tx = target0[1] - (c * p0[0] - s * p0[1])
+    ty = target0[2] - (s * p0[0] + c * p0[1])
+    x, y = poses[:, 1], poses[:, 2]
+    out = jnp.stack([se2.normalize_angle(poses[:, 0] + dth),
+                     c * x - s * y + tx, s * x + c * y + ty], axis=-1)
+    if landmarks is None:
+        return out
+    lx, ly = landmarks[..., 0], landmarks[..., 1]
+    lms = jnp.stack([c * lx - s * ly + tx, s * lx + c * ly + ty], axis=-1)
+    return out, lms
 
 
 def optimize(g: PoseGraph, iters: int = 10, **kw) -> PoseGraph:

@@ -258,7 +258,12 @@ def gauss_newton_step(prob: BundleProblem, damping: float = 1e-6,
 
     poses = prob.poses + dp
     poses = poses.at[:, 0].set(se2.normalize_angle(poses[:, 0]))
-    return prob._replace(poses=poses, landmarks=prob.landmarks + dl)
+    # exact gauge fix (see pose_graph.gauge_project): kill the near-free
+    # global-rotation mode instead of letting it drift against the anchor
+    from .pose_graph import gauge_project
+    poses, landmarks = gauge_project(poses, prob.poses[0],
+                                     prob.landmarks + dl)
+    return prob._replace(poses=poses, landmarks=landmarks)
 
 
 def optimize(prob: BundleProblem, iters: int = 5, **kw) -> BundleProblem:

@@ -54,6 +54,8 @@ def ensure_built():
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_double)]
         lib.sb_engine_cov.argtypes = [
             ctypes.c_void_p, ctypes.POINTER(ctypes.c_double)]
+        lib.sb_engine_seen.restype = ctypes.c_int
+        lib.sb_engine_seen.argtypes = [ctypes.c_void_p]
         lib.sb_engine_ate.restype = ctypes.c_double
         lib.sb_engine_ate.argtypes = [ctypes.c_void_p]
         lib.sb_engine_ate_odom.restype = ctypes.c_double
@@ -159,6 +161,11 @@ class HostEngine:
         out = np.empty(d * d)
         self._lib.sb_engine_cov(self._h, _dptr(out))
         return out.reshape(d, d)
+
+    @property
+    def n_seen(self):
+        """Landmarks initialized so far."""
+        return self._lib.sb_engine_seen(self._h)
 
     @property
     def ate(self):

@@ -100,21 +100,27 @@ def synthesize(N: int, T: int, obs_per_pose: int, seed: int = 0,
         weight=jnp.ones(T, dtype),
     )
 
-    # observations: sweep so every landmark is seen >= 2 poses
-    obs_t, obs_j, obs_z = [], [], []
-    for t in range(T):
-        for k in range(obs_per_pose):
-            j = (t * obs_per_pose + k) % N
-            for tt in (t, (t + 1) % T):    # two sightings per landmark slot
-                dx = lms[j, 0] - truth[tt, 1]
-                dy = lms[j, 1] - truth[tt, 2]
-                rr = np.hypot(dx, dy)
-                brg = np.arctan2(dy, dx) - truth[tt, 0]
-                obs_t.append(tt)
-                obs_j.append(j)
-                obs_z.append([rr + rng.normal(0, meas_noise),
-                              np.arctan2(np.sin(brg), np.cos(brg))
-                              + rng.normal(0, meas_noise)])
+    # observations: sweep so every landmark is seen from THREE poses spread
+    # around the loop (t, t+T/3, t+2T/3). The spread sightings are the
+    # landmark-level loop closures a real 50k-landmark survey has (places
+    # are revisited); with only adjacent-pose sightings the bundle would be
+    # gauge-soft — a coherent "bent map" (poses + landmarks bending
+    # together under the odometry bias) costs almost nothing and
+    # refinement cannot recover the true geometry at large radius.
+    t_base = np.repeat(np.arange(T), obs_per_pose)          # (T*OBS,)
+    j_base = np.arange(T * obs_per_pose) % N
+    offsets = np.array([0, T // 3, (2 * T) // 3])
+    tt = ((t_base[:, None] + offsets[None, :]) % T).reshape(-1)
+    jj = np.broadcast_to(j_base[:, None], (len(j_base), 3)).reshape(-1)
+    dxy = lms[jj] - truth[tt, 1:3]
+    rr = np.hypot(dxy[:, 0], dxy[:, 1])
+    brg = np.arctan2(dxy[:, 1], dxy[:, 0]) - truth[tt, 0]
+    obs_t = tt
+    obs_j = jj
+    obs_z = np.stack(
+        [rr + rng.normal(0, meas_noise, rr.shape),
+         np.arctan2(np.sin(brg), np.cos(brg))
+         + rng.normal(0, meas_noise, rr.shape)], axis=-1)
     M = len(obs_t)
 
     bundle = schur.BundleProblem(

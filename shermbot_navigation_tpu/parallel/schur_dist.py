@@ -33,7 +33,8 @@ from jax import shard_map
 from ..models import schur
 from ..models.ekf_slam import _inv2x2
 from ..ops.smallalg import solve3
-from ..models.pose_graph import PoseGraph, residuals as pg_residuals
+from ..models.pose_graph import (PoseGraph, gauge_project,
+                                 residuals as pg_residuals)
 from ..ops import se2
 
 PRECISION = jax.lax.Precision.HIGHEST
@@ -242,8 +243,12 @@ def make_sharded_gn(mesh: Mesh, T: int, N: int, M: int,
 
         poses = prob.poses + dp
         poses = poses.at[:, 0].set(se2.normalize_angle(poses[:, 0]))
-        return prob._replace(poses=poses,
-                             landmarks=prob.landmarks + dl_local)
+        # exact gauge fix (see models.pose_graph.gauge_project): G is
+        # computed from replicated pose data, so every shard applies the
+        # same rigid motion to its landmark block.
+        poses, landmarks = gauge_project(
+            poses, prob.poses[0], prob.landmarks + dl_local)
+        return prob._replace(poses=poses, landmarks=landmarks)
 
     fn = shard_map(shard_fn, mesh=mesh, in_specs=(in_specs,),
                    out_specs=in_specs, check_vma=False)

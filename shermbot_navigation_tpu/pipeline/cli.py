@@ -25,6 +25,9 @@ import sys
 
 
 def _cmd_run(args):
+    if args.engine == "native":
+        return _run_native(args)
+
     import jax
     import jax.numpy as jnp
 
@@ -66,6 +69,44 @@ def _cmd_run(args):
                 f.write(f"{t},{tp[t,0]},{tp[t,1]},{tp[t,2]},"
                         f"{op[t,0]},{op[t,1]},{op[t,2]},"
                         f"{sp[t,0]},{sp[t,1]},{sp[t,2]},{int(ns[t])}\n")
+    print(json.dumps(out))
+
+
+def _run_native(args):
+    """Run the scenario on the in-process C++ host engine
+    (shermbot_navigation_tpu.native) — the low-latency serving path with no
+    JAX/TPU dependency. Deterministic (noise at its mean) unless --seed
+    is negative; circle commands only (all registered scenarios)."""
+    from ..native import HostEngine
+    from .config import get_scenario
+
+    scn = get_scenario(args.scenario)
+    if scn.command[0] != "circle":
+        raise SystemExit("native engine supports circle commands only")
+    w, v = scn.command[1], scn.command[2]
+    eng = HostEngine(
+        tubes=list(scn.tubes), capacity=scn.num_landmarks,
+        known_assoc=scn.known_association, use_lidar=scn.use_lidar,
+        max_range=scn.max_range, tube_var=scn.tube_var,
+        twist_noise=scn.twist_noise, slip_min=scn.slip_min,
+        slip_max=scn.slip_max, deterministic=True,
+        seed=max(args.seed, 0) + 12345, steps=scn.steps)
+    traj = eng.run(scn.steps, w, v, record=bool(args.traj))
+    out = {
+        "scenario": scn.name,
+        "engine": "native",
+        "steps": scn.steps,
+        "n_seen": eng.n_seen,
+        "ate_slam_m": eng.ate,
+        "ate_odom_m": eng.ate_odom,
+    }
+    if args.traj:
+        with open(args.traj, "w") as f:
+            f.write("tick,true_th,true_x,true_y,odom_th,odom_x,odom_y,"
+                    "slam_th,slam_x,slam_y\n")
+            for t in range(traj.shape[0]):
+                f.write(str(t) + "," +
+                        ",".join(f"{x:.12g}" for x in traj[t]) + "\n")
     print(json.dumps(out))
 
 
@@ -146,6 +187,8 @@ def main(argv=None):
     pr.add_argument("--f64", action="store_true")
     pr.add_argument("--platform", default=None,
                     help="jax platform override (e.g. cpu)")
+    pr.add_argument("--engine", default="jax", choices=["jax", "native"],
+                    help="jax (TPU/CPU pipeline) or native (in-process C++)")
     pr.add_argument("--traj", default=None, help="write trajectory CSV")
     pr.set_defaults(fn=_cmd_run)
 

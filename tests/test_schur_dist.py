@@ -54,3 +54,23 @@ def test_sharded_reduces_error():
     lm_err = np.sqrt(np.mean(np.sum(
         (np.asarray(out.landmarks - lms)) ** 2, -1)))
     assert lm_err < 0.01
+
+
+def test_gauge_anchor_holds_exactly():
+    """Regression: the gauge anchor enters H only (zero residual at every
+    linearization point), so without explicit gauge projection the solution
+    drifts along the near-free global-rotation mode over GN steps — at
+    50k-landmark scale that drift cost ~0.5 m ATE. With gauge projection
+    pose 0 must be restored bitwise after EVERY step."""
+    prob, truth, lms = _make_problem()
+    part = schur_dist.partition_problem(prob, 2)
+    mesh = mesh_lib.make_mesh(jax.devices()[:2], data=1, map_=2)
+    step = schur_dist.make_sharded_gn(
+        mesh, T=part.poses.shape[0], N=part.landmarks.shape[0],
+        M=part.obs_t.shape[0], cg_iters=40)
+    p0 = np.asarray(part.poses[0])
+    out = part
+    for _ in range(4):
+        out = step(out)
+        np.testing.assert_allclose(np.asarray(out.poses[0]), p0,
+                                   rtol=0, atol=1e-12)
