@@ -29,13 +29,9 @@ def main():
     prob = megamap.synthesize(N, T, OBS)
     t_synth = time.time() - t0
 
-    # stage 1: loop closure
-    g_opt = jax.jit(lambda gg: pg.optimize(gg, iters=5, solve="dense"))
-    g = g_opt(prob.graph)
-    float(g.poses[0, 0])
+    # stage 1: loop closure (host f64 — see pose_graph.optimize_host)
     t0 = time.time()
-    g = g_opt(prob.graph)
-    float(g.poses[0, 0])
+    g = pg.optimize_host(prob.graph, iters=5)
     t_pg = time.time() - t0
 
     # stage 2: sharded Schur GN refinement (time the steady-state step)

@@ -239,6 +239,101 @@ def optimize(g: PoseGraph, iters: int = 10, **kw) -> PoseGraph:
 
 
 # ---------------------------------------------------------------------------
+# Host-side float64 solver
+# ---------------------------------------------------------------------------
+
+def optimize_host(g: PoseGraph, iters: int = 10, damping: float = 1e-6,
+                  anchor_w: float = 1e6) -> PoseGraph:
+    """Dense Gauss-Newton on the HOST in float64 (numpy).
+
+    The pose graph is the small serial stage of large-map refinement (T
+    keyframes, a (3T)^2 solve — microseconds of FLOPs) while its chain
+    conditioning grows with map extent: at 50k-landmark scale (loop radius
+    ~112 m) float32 GN sits on a stability cliff (some noise realizations
+    diverge), and TPUs have no native f64. So the framework runs this stage
+    on the host in f64 — the same split as the C++ host runtime — and
+    reserves the TPU for the big sharded landmark stage
+    (parallel/schur_dist.py). Matches ``optimize(..., solve="dense")``
+    in exact arithmetic (see tests/test_refinement.py)."""
+    import numpy as np
+
+    poses = np.asarray(g.poses, np.float64).copy()
+    ei = np.asarray(g.edge_i)
+    ej = np.asarray(g.edge_j)
+    meas = np.asarray(g.meas, np.float64)
+    info = np.asarray(g.info, np.float64)
+    w = np.asarray(g.weight, np.float64)
+    T = poses.shape[0]
+    E = ei.shape[0]
+
+    def wrap(a):
+        return np.arctan2(np.sin(a), np.cos(a))
+
+    target0 = poses[0].copy()
+    for _ in range(iters):
+        thi = poses[ei, 0]
+        u = poses[ej, 1:3] - poses[ei, 1:3]
+        ci, si = np.cos(thi), np.sin(thi)
+        # A = R(-thi); m = A u - z_xy; e = [wrap(dth - zth), R(-zth) m]
+        Au = np.stack([ci * u[:, 0] + si * u[:, 1],
+                       -si * u[:, 0] + ci * u[:, 1]], -1)
+        m = Au - meas[:, 1:3]
+        zc, zs = np.cos(meas[:, 0]), np.sin(meas[:, 0])
+        Rz = np.stack([np.stack([zc, zs], -1),
+                       np.stack([-zs, zc], -1)], -2)      # (E, 2, 2) R(-zth)
+        e = np.empty((E, 3))
+        e[:, 0] = wrap(poses[ej, 0] - thi - meas[:, 0])
+        e[:, 1:] = np.einsum("eij,ej->ei", Rz, m)
+
+        # Jacobians wrt [th, x, y] of pose i and pose j
+        dAu = np.stack([-si * u[:, 0] + ci * u[:, 1],
+                        -ci * u[:, 0] - si * u[:, 1]], -1)  # dA/dthi @ u
+        A = np.stack([np.stack([ci, si], -1),
+                      np.stack([-si, ci], -1)], -2)          # (E, 2, 2)
+        RzA = np.einsum("eij,ejk->eik", Rz, A)
+        Ji = np.zeros((E, 3, 3))
+        Jj = np.zeros((E, 3, 3))
+        Ji[:, 0, 0] = -1.0
+        Jj[:, 0, 0] = 1.0
+        Ji[:, 1:, 0] = np.einsum("eij,ej->ei", Rz, dAu)
+        Ji[:, 1:, 1:] = -RzA
+        Jj[:, 1:, 1:] = RzA
+
+        Oi = np.einsum("eij,ejk->eik", info, Ji) * w[:, None, None]
+        Oj = np.einsum("eij,ejk->eik", info, Jj) * w[:, None, None]
+        H = np.zeros((T, 3, T, 3))
+        np.add.at(H, (ei, slice(None), ei, slice(None)),
+                  np.einsum("eji,ejk->eik", Ji, Oi))
+        np.add.at(H, (ei, slice(None), ej, slice(None)),
+                  np.einsum("eji,ejk->eik", Ji, Oj))
+        np.add.at(H, (ej, slice(None), ei, slice(None)),
+                  np.einsum("eji,ejk->eik", Jj, Oi))
+        np.add.at(H, (ej, slice(None), ej, slice(None)),
+                  np.einsum("eji,ejk->eik", Jj, Oj))
+        H[0, :, 0, :] += anchor_w * np.eye(3)
+        b = np.zeros((T, 3))
+        Or = np.einsum("eij,ej->ei", info, e) * w[:, None]
+        np.add.at(b, ei, np.einsum("eji,ej->ei", Ji, Or))
+        np.add.at(b, ej, np.einsum("eji,ej->ei", Jj, Or))
+
+        Hm = H.reshape(3 * T, 3 * T) + damping * np.eye(3 * T)
+        dx = np.linalg.solve(Hm, -b.reshape(-1)).reshape(T, 3)
+        poses += dx
+        poses[:, 0] = wrap(poses[:, 0])
+        # gauge projection (same rationale as gauge_project)
+        dth = wrap(target0[0] - poses[0, 0])
+        c, s = np.cos(dth), np.sin(dth)
+        tx = target0[1] - (c * poses[0, 1] - s * poses[0, 2])
+        ty = target0[2] - (s * poses[0, 1] + c * poses[0, 2])
+        x, y = poses[:, 1].copy(), poses[:, 2].copy()
+        poses[:, 0] = wrap(poses[:, 0] + dth)
+        poses[:, 1] = c * x - s * y + tx
+        poses[:, 2] = s * x + c * y + ty
+
+    return g._replace(poses=jnp.asarray(poses, g.poses.dtype))
+
+
+# ---------------------------------------------------------------------------
 # Graph construction helpers
 # ---------------------------------------------------------------------------
 

@@ -33,7 +33,6 @@ import numpy as np
 
 from ..models import pose_graph as pg
 from ..models import schur
-from ..ops import se2
 from . import schur_dist
 from .mesh import make_mesh
 
@@ -64,29 +63,39 @@ def synthesize(N: int, T: int, obs_per_pose: int, seed: int = 0,
     truth = np.stack([th + np.pi / 2,
                       radius * np.cos(th), radius * np.sin(th)], -1)
 
-    # drifted odometry
-    odo = [truth[0]]
-    rels = []
-    for t in range(T - 1):
-        Ti = se2.from_pose(jnp.asarray(truth[t]))
-        Tj = se2.from_pose(jnp.asarray(truth[t + 1]))
-        rel = np.asarray(se2.to_pose(se2.compose(se2.inv(Ti), Tj)))
-        noisy = rel + np.array([drift + rng.normal(0, drift / 4),
-                                rng.normal(0, drift / 4),
-                                rng.normal(0, drift / 4)])
-        rels.append(noisy)
-        Tn = se2.compose(se2.from_pose(jnp.asarray(odo[-1])),
-                         se2.from_pose(jnp.asarray(noisy)))
-        odo.append(np.asarray(se2.to_pose(Tn)))
-    odo = np.stack(odo)
-    rels = np.stack(rels)
+    # drifted odometry — pure numpy (this is host-side synthesis; jnp ops
+    # here would dispatch one tunnel round-trip per edge on TPU, turning
+    # setup into minutes at T=512)
+    def np_wrap(a):
+        return np.arctan2(np.sin(a), np.cos(a))
+
+    def np_rel(a, b):
+        """to_pose(inv(T_a) @ T_b) for pose rows [th, x, y]."""
+        c, s = np.cos(a[..., 0]), np.sin(a[..., 0])
+        dx = b[..., 1] - a[..., 1]
+        dy = b[..., 2] - a[..., 2]
+        return np.stack([np_wrap(b[..., 0] - a[..., 0]),
+                         c * dx + s * dy, -s * dx + c * dy], axis=-1)
+
+    rel = np_rel(truth[:-1], truth[1:])                      # (T-1, 3)
+    rels = rel + np.stack(
+        [drift + rng.normal(0, drift / 4, T - 1),
+         rng.normal(0, drift / 4, T - 1),
+         rng.normal(0, drift / 4, T - 1)], axis=-1)
+    # accumulate the drifted chain: odo_{t+1} = odo_t o rels_t
+    odo_th = np.concatenate([[truth[0, 0]],
+                             truth[0, 0] + np.cumsum(rels[:, 0])])
+    c, s = np.cos(odo_th[:-1]), np.sin(odo_th[:-1])
+    steps = np.stack([c * rels[:, 1] - s * rels[:, 2],
+                      s * rels[:, 1] + c * rels[:, 2]], axis=-1)
+    odo_xy = np.concatenate(
+        [truth[0:1, 1:3], truth[0, 1:3] + np.cumsum(steps, axis=0)], axis=0)
+    odo = np.concatenate([odo_th[:, None], odo_xy], axis=-1)
 
     # pose graph: odometry chain + one loop closure (last -> first, truth)
     ei = np.arange(T - 1, dtype=np.int32)
     info_odo = np.eye(3) * (1.0 / drift) ** 2
-    Tl = se2.from_pose(jnp.asarray(truth[-1]))
-    T0 = se2.from_pose(jnp.asarray(truth[0]))
-    z_loop = np.asarray(se2.to_pose(se2.compose(se2.inv(Tl), T0)))
+    z_loop = np_rel(truth[-1], truth[0])
     graph = pg.PoseGraph(
         poses=jnp.asarray(odo, dtype),
         edge_i=jnp.concatenate([jnp.asarray(ei), jnp.array([T - 1],
@@ -152,12 +161,13 @@ def run_megamap(N: int = 1024, T: int = 64, obs_per_pose: int = 16,
 
     prob = synthesize(N, T, obs_per_pose, dtype=dtype)
 
-    # stage 1: loop closure on the pose graph. Dense normal equations:
-    # chain graphs are too ill-conditioned for (even block-Jacobi
-    # preconditioned) CG — information crosses ~1 edge/iteration — while
-    # the (3T, 3T) dense solve is trivial for thousands of keyframes.
-    g = jax.jit(lambda gg: pg.optimize(gg, iters=pg_iters,
-                                       solve="dense"))(prob.graph)
+    # stage 1: loop closure on the pose graph, solved on the HOST in f64
+    # (pg.optimize_host). Dense normal equations: chain graphs are too
+    # ill-conditioned for (even block-Jacobi preconditioned) CG —
+    # information crosses ~1 edge/iteration — and at 50k-map extent the
+    # f32 GN sits on a stability cliff, so the small serial solve runs
+    # host-side in double while the TPU does the sharded landmark stage.
+    g = pg.optimize_host(prob.graph, iters=pg_iters)
 
     # stage 2: distributed Schur bundle refinement from the closed poses
     bundle = prob.bundle._replace(poses=g.poses)

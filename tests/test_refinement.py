@@ -133,3 +133,19 @@ class TestSchur:
         lm_err = np.sqrt(np.mean(
             np.sum((np.asarray(out.landmarks - lms)) ** 2, -1)))
         assert lm_err < 0.01
+
+
+def test_optimize_host_matches_jax_dense():
+    """The host-side f64 pose-graph solver (stage 1 of large-map
+    refinement) must match the JAX dense GN bit-for-near-bit on an f64
+    problem — same residuals, Jacobians, anchor, and gauge projection."""
+    import jax.numpy as jnp
+    import numpy as np
+    from shermbot_navigation_tpu.models import pose_graph as pg
+    from shermbot_navigation_tpu.parallel import megamap
+
+    prob = megamap.synthesize(64, 24, 4, dtype=jnp.float64)
+    a = pg.optimize(prob.graph, iters=6, solve="dense")
+    b = pg.optimize_host(prob.graph, iters=6)
+    np.testing.assert_allclose(np.asarray(a.poses), np.asarray(b.poses),
+                               rtol=0, atol=1e-10)
