@@ -330,7 +330,10 @@ def optimize_host(g: PoseGraph, iters: int = 10, damping: float = 1e-6,
         poses[:, 1] = c * x - s * y + tx
         poses[:, 2] = s * x + c * y + ty
 
-    return g._replace(poses=jnp.asarray(poses, g.poses.dtype))
+    # stay host-side: callers upload to device (if at all) when the jitted
+    # stage-2 step consumes the poses; fetching device arrays back through
+    # the axon tunnel is pathologically slow (~30 s/buffer)
+    return g._replace(poses=poses.astype(np.dtype(g.poses.dtype)))
 
 
 # ---------------------------------------------------------------------------

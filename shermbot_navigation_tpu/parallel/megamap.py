@@ -96,17 +96,20 @@ def synthesize(N: int, T: int, obs_per_pose: int, seed: int = 0,
     ei = np.arange(T - 1, dtype=np.int32)
     info_odo = np.eye(3) * (1.0 / drift) ** 2
     z_loop = np_rel(truth[-1], truth[0])
+    # All problem arrays stay HOST-SIDE (numpy): the pose-graph stage is
+    # solved on the host, and fetching even tiny device arrays back through
+    # the axon tunnel costs ~30 s per buffer. Device upload happens once,
+    # when the jitted stage-2 step consumes the bundle.
+    npdt = np.dtype(jnp.dtype(dtype).name)
     graph = pg.PoseGraph(
-        poses=jnp.asarray(odo, dtype),
-        edge_i=jnp.concatenate([jnp.asarray(ei), jnp.array([T - 1],
-                                                           jnp.int32)]),
-        edge_j=jnp.concatenate([jnp.asarray(ei + 1), jnp.array([0],
-                                                               jnp.int32)]),
-        meas=jnp.asarray(np.concatenate([rels, z_loop[None]]), dtype),
-        info=jnp.asarray(np.concatenate(
+        poses=odo.astype(npdt),
+        edge_i=np.concatenate([ei, np.array([T - 1], np.int32)]),
+        edge_j=np.concatenate([ei + 1, np.array([0], np.int32)]),
+        meas=np.concatenate([rels, z_loop[None]]).astype(npdt),
+        info=np.concatenate(
             [np.broadcast_to(info_odo, (T - 1, 3, 3)),
-             (np.eye(3) * 1e6)[None]]), dtype),
-        weight=jnp.ones(T, dtype),
+             (np.eye(3) * 1e6)[None]]).astype(npdt),
+        weight=np.ones(T, npdt),
     )
 
     # observations: sweep so every landmark is seen from THREE poses spread
@@ -133,21 +136,20 @@ def synthesize(N: int, T: int, obs_per_pose: int, seed: int = 0,
     M = len(obs_t)
 
     bundle = schur.BundleProblem(
-        poses=jnp.asarray(odo, dtype),     # replaced by stage-1 output
-        landmarks=jnp.asarray(
-            lms + rng.normal(0, 0.05, lms.shape), dtype),
-        odo_meas=jnp.asarray(rels, dtype),
-        odo_info=jnp.asarray(info_odo, dtype),
-        obs_t=jnp.asarray(obs_t, jnp.int32),
-        obs_j=jnp.asarray(obs_j, jnp.int32),
-        obs_z=jnp.asarray(obs_z, dtype),
-        obs_info=jnp.asarray(np.eye(2) / meas_noise ** 2, dtype),
-        obs_w=jnp.ones(M, dtype),
-        anchor_w=jnp.asarray(1e8, dtype),
+        poses=odo.astype(npdt),            # replaced by stage-1 output
+        landmarks=(lms + rng.normal(0, 0.05, lms.shape)).astype(npdt),
+        odo_meas=rels.astype(npdt),
+        odo_info=info_odo.astype(npdt),
+        obs_t=np.asarray(obs_t, np.int32),
+        obs_j=np.asarray(obs_j, np.int32),
+        obs_z=obs_z.astype(npdt),
+        obs_info=(np.eye(2) / meas_noise ** 2).astype(npdt),
+        obs_w=np.ones(M, npdt),
+        anchor_w=np.asarray(1e8, npdt),
     )
     return MegaMapProblem(
-        truth_poses=jnp.asarray(truth, dtype),
-        truth_lms=jnp.asarray(lms, dtype),
+        truth_poses=truth.astype(npdt),
+        truth_lms=lms.astype(npdt),
         graph=graph, bundle=bundle)
 
 

@@ -31,7 +31,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..models import schur
-from ..models.ekf_slam import _inv2x2
 from ..ops.smallalg import solve3
 from ..models.pose_graph import (PoseGraph, gauge_project,
                                  residuals as pg_residuals)
@@ -112,21 +111,84 @@ def make_sharded_gn(mesh: Mesh, T: int, N: int, M: int,
             weight=jnp.ones(Tn - 1, dtype))
         r_o, Ji, Jj = pg_residuals(g)
 
-        # local observation residuals/Jacobians
+        # ---- per-observation COMPONENT arrays, all (Ml,) -------------
+        # A batched (Ml, 2, 3) Jacobian tensor puts the tiny trailing dims
+        # on the (8, 128) TPU tile — ~40x physical inflation; at M = 150k
+        # the einsum form spent ~10 s/step just streaming padded HBM.
+        # The 9 Jacobian nonzeros (ref slam_library.cpp:162-186) as flat
+        # vectors keep every byte useful (same trick as ops/smallalg).
+        t = prob.obs_t
         j_loc = prob.obs_j - off
-        p = prob.poses[prob.obs_t]
-        l = prob.landmarks[j_loc]
-        r_z, Jp, Jl = schur._obs_rj(p, l, prob.obs_z)
-        wv = prob.obs_w[:, None]
+        w = prob.obs_w
+        pth = prob.poses[t, 0]
+        dx = prob.landmarks[j_loc, 0] - prob.poses[t, 1]
+        dy = prob.landmarks[j_loc, 1] - prob.poses[t, 2]
+        d = jnp.maximum(dx * dx + dy * dy, 1e-12)
+        sq = jnp.sqrt(d)
+        r1 = sq - prob.obs_z[:, 0]
+        r2 = se2.normalize_angle(
+            se2.normalize_angle(jnp.arctan2(dy, dx) - pth)
+            - prob.obs_z[:, 1])
+        # pose Jacobian rows: range (0, -dx/sq, -dy/sq),
+        #                     bearing (-1, dy/d, -dx/d)
+        ar_x, ar_y = -dx / sq, -dy / sq
+        ab_x, ab_y = dy / d, -dx / d          # theta column is exactly -1
+        # landmark Jacobian: range (dx/sq, dy/sq), bearing (-dy/d, dx/d)
+        lr_x, lr_y = dx / sq, dy / sq
+        lb_x, lb_y = -dy / d, dx / d
+        w11 = prob.obs_info[0, 0]
+        w12 = prob.obs_info[0, 1]
+        w22 = prob.obs_info[1, 1]
 
-        # local Hll blocks + inverse
-        OJl = jnp.einsum("ij,ejk->eik", prob.obs_info, Jl,
-                         precision=PRECISION) * prob.obs_w[:, None, None]
-        Hll = jnp.zeros((n_local, 2, 2), dtype)
-        Hll = Hll.at[j_loc].add(
-            jnp.einsum("eji,ejk->eik", Jl, OJl, precision=PRECISION))
-        Hll = Hll + 1e-8 * jnp.eye(2, dtype=dtype)
-        Hll_inv = _inv2x2(Hll)
+        def omega_w(s1, s2):
+            """(w * Omega) applied to a measurement-space pair."""
+            return (w * (w11 * s1 + w12 * s2), w * (w12 * s1 + w22 * s2))
+
+        def jpT(o1, o2):
+            """J_pose^T applied to a measurement-space pair -> 3 comps."""
+            return (-o2, ar_x * o1 + ab_x * o2, ar_y * o1 + ab_y * o2)
+
+        def jlT(o1, o2):
+            """J_lm^T applied to a measurement-space pair -> 2 comps."""
+            return (lr_x * o1 + lb_x * o2, lr_y * o1 + lb_y * o2)
+
+        def jp(v):
+            """J_pose applied to pose-space v (T, 3) -> meas pair."""
+            vt = v[t]
+            return (ar_x * vt[:, 1] + ar_y * vt[:, 2],
+                    -vt[:, 0] + ab_x * vt[:, 1] + ab_y * vt[:, 2])
+
+        def jl(u):
+            """J_lm applied to landmark-space u (Nl, 2) -> meas pair."""
+            ux, uy = u[j_loc, 0], u[j_loc, 1]
+            return (lr_x * ux + lr_y * uy, lb_x * ux + lb_y * uy)
+
+        def scat_t(c1, c2, c3):
+            return jnp.zeros((Tn, 3), dtype).at[t].add(
+                jnp.stack([c1, c2, c3], axis=-1))
+
+        def scat_j(c1, c2):
+            return jnp.zeros((n_local, 2), dtype).at[j_loc].add(
+                jnp.stack([c1, c2], axis=-1))
+
+        # local Hll blocks (symmetric 2x2 per landmark, 3 component arrays)
+        o1x, o2x = omega_w(lr_x, lb_x)        # (w Omega) column x
+        o1y, o2y = omega_w(lr_y, lb_y)
+        q_xx = lr_x * o1x + lb_x * o2x
+        q_xy = lr_x * o1y + lb_x * o2y
+        q_yy = lr_y * o1y + lb_y * o2y
+        zl = jnp.zeros((n_local,), dtype)
+        Hxx = zl.at[j_loc].add(q_xx) + 1e-8
+        Hxy = zl.at[j_loc].add(q_xy)
+        Hyy = zl.at[j_loc].add(q_yy) + 1e-8
+        det = jnp.maximum(Hxx * Hyy - Hxy * Hxy, 1e-30)
+        ixx, ixy, iyy = Hyy / det, -Hxy / det, Hxx / det
+
+        def hll_inv(u):
+            """Hll^-1 applied per landmark to u (Nl, 2)."""
+            ux, uy = u[..., 0], u[..., 1]
+            return jnp.stack([ixx * ux + ixy * uy,
+                              ixy * ux + iyy * uy], axis=-1)
 
         # rhs
         Or = jnp.einsum("eij,ej->ei", g.info, r_o, precision=PRECISION)
@@ -136,36 +198,21 @@ def make_sharded_gn(mesh: Mesh, T: int, N: int, M: int,
         bp_odo = bp_odo.at[g.edge_j].add(
             jnp.einsum("eji,ej->ei", Jj, Or, precision=PRECISION))
 
-        Orz = jnp.einsum("ij,ej->ei", prob.obs_info, r_z,
-                         precision=PRECISION) * wv
-        bp_obs_local = jnp.zeros((Tn, 3), dtype).at[prob.obs_t].add(
-            jnp.einsum("eji,ej->ei", Jp, Orz, precision=PRECISION))
-        bl_local = jnp.zeros((n_local, 2), dtype).at[j_loc].add(
-            jnp.einsum("eji,ej->ei", Jl, Orz, precision=PRECISION))
+        or1, or2 = omega_w(r1, r2)
+        bp_obs_local = scat_t(*jpT(or1, or2))
+        bl_local = scat_j(*jlT(or1, or2))
 
         def hlp_v(v):
-            Jpv = jnp.einsum("eij,ej->ei", Jp, v[prob.obs_t],
-                             precision=PRECISION)
-            OJpv = jnp.einsum("ij,ej->ei", prob.obs_info, Jpv,
-                              precision=PRECISION) * wv
-            return jnp.zeros((n_local, 2), dtype).at[j_loc].add(
-                jnp.einsum("eji,ej->ei", Jl, OJpv, precision=PRECISION))
+            o1, o2 = omega_w(*jp(v))
+            return scat_j(*jlT(o1, o2))
 
         def hpl_u_local(u):
-            Jlu = jnp.einsum("eij,ej->ei", Jl, u[j_loc],
-                             precision=PRECISION)
-            OJlu = jnp.einsum("ij,ej->ei", prob.obs_info, Jlu,
-                              precision=PRECISION) * wv
-            return jnp.zeros((Tn, 3), dtype).at[prob.obs_t].add(
-                jnp.einsum("eji,ej->ei", Jp, OJlu, precision=PRECISION))
+            o1, o2 = omega_w(*jl(u))
+            return scat_t(*jpT(o1, o2))
 
         def hpp_obs_v(v):
-            Jpv = jnp.einsum("eij,ej->ei", Jp, v[prob.obs_t],
-                             precision=PRECISION)
-            OJpv = jnp.einsum("ij,ej->ei", prob.obs_info, Jpv,
-                              precision=PRECISION) * wv
-            return jnp.zeros((Tn, 3), dtype).at[prob.obs_t].add(
-                jnp.einsum("eji,ej->ei", Jp, OJpv, precision=PRECISION))
+            o1, o2 = omega_w(*jp(v))
+            return scat_t(*jpT(o1, o2))
 
         def hpp_odo_v(v):
             vi = v[g.edge_i]
@@ -180,21 +227,16 @@ def make_sharded_gn(mesh: Mesh, T: int, N: int, M: int,
                 jnp.einsum("eji,ej->ei", Jj, OJv, precision=PRECISION))
             return out.at[0].add(prob.anchor_w * v[0])
 
-        nmap = jax.lax.psum(1, "map") * 0 + jax.lax.axis_size("map")
-
         def Sv(v):
             # local contributions, then one psum over 'map'
-            u = jnp.einsum("nij,nj->ni", Hll_inv, hlp_v(v),
-                           precision=PRECISION)
+            u = hll_inv(hlp_v(v))
             local = hpp_obs_v(v) - hpl_u_local(u)
             total = jax.lax.psum(local, "map")
             # odo part + damping computed redundantly (identical on shards)
             return total + hpp_odo_v(v) + damping * v
 
         bp = bp_odo + jax.lax.psum(bp_obs_local, "map")
-        rhs = -bp + jax.lax.psum(
-            hpl_u_local(jnp.einsum("nij,nj->ni", Hll_inv, bl_local,
-                                   precision=PRECISION)), "map")
+        rhs = -bp + jax.lax.psum(hpl_u_local(hll_inv(bl_local)), "map")
 
         # block-Jacobi preconditioner: 3x3 diagonal blocks of Hpp
         # (odometry-chain part + local observation part psummed)
@@ -206,10 +248,23 @@ def make_sharded_gn(mesh: Mesh, T: int, N: int, M: int,
         Dodo = Dodo.at[g.edge_j].add(
             jnp.einsum("eji,ejk->eik", Jj, Oj, precision=PRECISION))
         Dodo = Dodo.at[0].add(prob.anchor_w * jnp.eye(3, dtype=dtype))
-        OJp = jnp.einsum("ij,ejk->eik", prob.obs_info, Jp,
-                         precision=PRECISION) * prob.obs_w[:, None, None]
-        Dobs = jnp.zeros((Tn, 3, 3), dtype).at[prob.obs_t].add(
-            jnp.einsum("eji,ejk->eik", Jp, OJp, precision=PRECISION))
+        # observation part of diag(Hpp): 6 unique comps of Jp^T (w Omega) Jp
+        # with pose columns c_t = (0, -1), c_x = (ar_x, ab_x), c_y = (...)
+        p1x, p2x = omega_w(ar_x, ab_x)
+        p1y, p2y = omega_w(ar_y, ab_y)
+        p_tt = w * w22
+        p_tx = -p2x
+        p_ty = -p2y
+        p_xx = ar_x * p1x + ab_x * p2x
+        p_xy = ar_x * p1y + ab_x * p2y
+        p_yy = ar_y * p1y + ab_y * p2y
+        Dflat = jnp.zeros((Tn, 6), dtype).at[t].add(
+            jnp.stack([p_tt, p_tx, p_ty, p_xx, p_xy, p_yy], axis=-1))
+        Dobs = jnp.stack([
+            jnp.stack([Dflat[:, 0], Dflat[:, 1], Dflat[:, 2]], -1),
+            jnp.stack([Dflat[:, 1], Dflat[:, 3], Dflat[:, 4]], -1),
+            jnp.stack([Dflat[:, 2], Dflat[:, 4], Dflat[:, 5]], -1),
+        ], axis=-2)
         D = Dodo + jax.lax.psum(Dobs, "map") + damping * jnp.eye(
             3, dtype=dtype)
 
@@ -237,9 +292,7 @@ def make_sharded_gn(mesh: Mesh, T: int, N: int, M: int,
             return x
 
         dp = cg(Sv, rhs)
-        dl_local = -jnp.einsum(
-            "nij,nj->ni", Hll_inv, bl_local + hlp_v(dp),
-            precision=PRECISION)
+        dl_local = -hll_inv(bl_local + hlp_v(dp))
 
         poses = prob.poses + dp
         poses = poses.at[:, 0].set(se2.normalize_angle(poses[:, 0]))
