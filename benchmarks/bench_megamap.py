@@ -34,19 +34,19 @@ def main():
     g = pg.optimize_host(prob.graph, iters=5)
     t_pg = time.time() - t0
 
-    # stage 2: sharded Schur GN refinement (time the steady-state step)
+    # stage 2: sharded Schur GN refinement — all steps in ONE program
     GN_STEPS = int(os.environ.get("MEGAMAP_GN", "4"))
     bundle = prob.bundle._replace(poses=g.poses)
     part = schur_dist.partition_problem(bundle, n_map)
     step = schur_dist.make_sharded_gn(
-        mesh, T=T, N=N, M=part.obs_t.shape[0], cg_iters=32)
-    out = step(part)          # compile + first step
+        mesh, T=T, N=N, M=part.obs_t.shape[0], cg_iters=32,
+        gn_steps=GN_STEPS)
+    out = step(part)          # compile + run
     float(out.poses[0, 0])
     t0 = time.time()
-    for _ in range(GN_STEPS - 1):
-        out = step(out)
+    out = step(part)
     float(out.poses[0, 0])
-    t_gn = (time.time() - t0) / max(GN_STEPS - 1, 1)
+    t_gn = (time.time() - t0) / GN_STEPS
 
     pe = np.asarray(out.poses[:, 1:] - prob.truth_poses[:, 1:])
     ate = float(np.sqrt(np.mean(np.sum(pe ** 2, -1))))

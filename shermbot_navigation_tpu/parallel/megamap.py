@@ -171,12 +171,12 @@ def run_megamap(N: int = 1024, T: int = 64, obs_per_pose: int = 16,
     # host-side in double while the TPU does the sharded landmark stage.
     g = pg.optimize_host(prob.graph, iters=pg_iters)
 
-    # stage 2: distributed Schur bundle refinement from the closed poses
+    # stage 2: distributed Schur bundle refinement from the closed poses.
+    # All GN iterations run inside ONE device program (gn_steps) — chaining
+    # step() calls would bounce the buffers through the axon tunnel.
     bundle = prob.bundle._replace(poses=g.poses)
     part = schur_dist.partition_problem(bundle, n_map)
     step = schur_dist.make_sharded_gn(
-        mesh, T=T, N=N, M=part.obs_t.shape[0], cg_iters=cg_iters)
-    out = part
-    for _ in range(gn_iters):
-        out = step(out)
-    return prob, out
+        mesh, T=T, N=N, M=part.obs_t.shape[0], cg_iters=cg_iters,
+        gn_steps=gn_iters)
+    return prob, step(part)

@@ -77,12 +77,19 @@ def partition_problem(prob: schur.BundleProblem, n_shards: int
 
 
 def make_sharded_gn(mesh: Mesh, T: int, N: int, M: int,
-                    cg_iters: int = 64, damping: float = 1e-6):
-    """Build the jitted sharded Gauss-Newton step.
+                    cg_iters: int = 64, damping: float = 1e-6,
+                    gn_steps: int = 1):
+    """Build the jitted sharded Gauss-Newton refinement.
 
     Array placement: poses/odometry replicated; ``landmarks`` (N, 2) and the
     observation arrays (M,) sharded over 'map'. Returns
-    ``step(prob) -> prob``.
+    ``step(prob) -> prob`` applying ``gn_steps`` GN iterations.
+
+    ``gn_steps`` loops INSIDE the program (lax.scan): one device program for
+    the whole refinement. Chaining separate step() calls instead — feeding
+    each call's output buffers back as the next call's inputs — costs ~3.5 s
+    per step through the axon tunnel (the handles bounce through the host)
+    for a step that computes in ~5 ms on-chip.
     """
     n_map = mesh.shape["map"]
     if N % n_map or M % n_map:
@@ -96,11 +103,19 @@ def make_sharded_gn(mesh: Mesh, T: int, N: int, M: int,
     )
 
     def shard_fn(prob: schur.BundleProblem):
+        (poses, landmarks), _ = jax.lax.scan(
+            lambda carry, _: (_gn_once(prob, *carry, damping=damping,
+                                       cg_iters=cg_iters), None),
+            (prob.poses, prob.landmarks), None, length=gn_steps)
+        return prob._replace(poses=poses, landmarks=landmarks)
+
+    def _gn_once(prob, cur_poses, cur_landmarks, *, damping, cg_iters):
         # local views: landmarks (Nl, 2); obs (Ml,) referencing GLOBAL ids
         shard = jax.lax.axis_index("map")
-        n_local = prob.landmarks.shape[0]
+        n_local = cur_landmarks.shape[0]
         off = shard * n_local
-        dtype = prob.poses.dtype
+        dtype = cur_poses.dtype
+        prob = prob._replace(poses=cur_poses, landmarks=cur_landmarks)
 
         # odometry graph (replicated, cheap)
         Tn = prob.poses.shape[0]
@@ -237,7 +252,6 @@ def make_sharded_gn(mesh: Mesh, T: int, N: int, M: int,
 
         bp = bp_odo + jax.lax.psum(bp_obs_local, "map")
         rhs = -bp + jax.lax.psum(hpl_u_local(hll_inv(bl_local)), "map")
-
         # block-Jacobi preconditioner: 3x3 diagonal blocks of Hpp
         # (odometry-chain part + local observation part psummed)
         Dodo = jnp.zeros((Tn, 3, 3), dtype)
@@ -301,7 +315,7 @@ def make_sharded_gn(mesh: Mesh, T: int, N: int, M: int,
         # same rigid motion to its landmark block.
         poses, landmarks = gauge_project(
             poses, prob.poses[0], prob.landmarks + dl_local)
-        return prob._replace(poses=poses, landmarks=landmarks)
+        return poses, landmarks
 
     fn = shard_map(shard_fn, mesh=mesh, in_specs=(in_specs,),
                    out_specs=in_specs, check_vma=False)
