@@ -37,3 +37,19 @@ def test_megamap_shard_invariance():
             cg_iters=64, dtype=jnp.float64)
         outs.append(np.asarray(out.poses))
     np.testing.assert_allclose(outs[0], outs[1], atol=1e-8)
+
+
+def test_midscale_quality_pin():
+    """End-to-end config-5 pipeline at mid scale: host-f64 loop closure +
+    sharded f32 Schur refinement must land near the measurement-noise
+    floor (millimeters here). Catches regressions in gauge projection,
+    stage handoff, and GN convergence that tiny shapes can't see."""
+    import numpy as np
+    from shermbot_navigation_tpu.parallel import megamap
+
+    prob, out = megamap.run_megamap(N=512, T=96, obs_per_pose=6,
+                                    gn_iters=4)
+    pe = np.asarray(out.poses[:, 1:] - prob.truth_poses[:, 1:])
+    le = np.asarray(out.landmarks - prob.truth_lms)
+    assert float(np.sqrt(np.mean(np.sum(pe ** 2, -1)))) < 0.01
+    assert float(np.sqrt(np.mean(np.sum(le ** 2, -1)))) < 0.01
