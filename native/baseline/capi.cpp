@@ -92,6 +92,10 @@ void sb_engine_cov(const void* h, double* cov_out) {
               (size_t)e->ekf.dim * e->ekf.dim * sizeof(double));
 }
 
+int sb_engine_seen(const void* h) {
+  return static_cast<const Engine*>(h)->ekf.seen;
+}
+
 double sb_engine_ate(const void* h) {
   return static_cast<const Engine*>(h)->ate();
 }

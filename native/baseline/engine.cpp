@@ -587,6 +587,7 @@ int Engine::tick(double cmd_w, double cmd_v) {
     int j;
     if (sc.known_assoc) {
       j = (int)i;
+      if (j >= ekf.n) break;  // capacity guard (mirrors associate()'s -2)
     } else {
       j = ekf.associate(zr, zb);
       if (j == -1) continue;

@@ -220,8 +220,10 @@ def gauge_project(poses, target0, landmarks=None):
     tx = target0[1] - (c * p0[0] - s * p0[1])
     ty = target0[2] - (s * p0[0] + c * p0[1])
     x, y = poses[:, 1], poses[:, 2]
-    out = jnp.stack([se2.normalize_angle(poses[:, 0] + dth),
-                     c * x - s * y + tx, s * x + c * y + ty], axis=-1)
+    # wrap headings RELATIVE to the target so pose 0 comes back exactly
+    # target0[0] even when the target heading lies outside (-pi, pi]
+    th = se2.normalize_angle(poses[:, 0] + dth - target0[0]) + target0[0]
+    out = jnp.stack([th, c * x - s * y + tx, s * x + c * y + ty], axis=-1)
     if landmarks is None:
         return out
     lx, ly = landmarks[..., 0], landmarks[..., 1]
@@ -320,13 +322,13 @@ def optimize_host(g: PoseGraph, iters: int = 10, damping: float = 1e-6,
         dx = np.linalg.solve(Hm, -b.reshape(-1)).reshape(T, 3)
         poses += dx
         poses[:, 0] = wrap(poses[:, 0])
-        # gauge projection (same rationale as gauge_project)
+        # gauge projection (same rationale + relative wrap as gauge_project)
         dth = wrap(target0[0] - poses[0, 0])
         c, s = np.cos(dth), np.sin(dth)
         tx = target0[1] - (c * poses[0, 1] - s * poses[0, 2])
         ty = target0[2] - (s * poses[0, 1] + c * poses[0, 2])
         x, y = poses[:, 1].copy(), poses[:, 2].copy()
-        poses[:, 0] = wrap(poses[:, 0] + dth)
+        poses[:, 0] = wrap(poses[:, 0] + dth - target0[0]) + target0[0]
         poses[:, 1] = c * x - s * y + tx
         poses[:, 2] = s * x + c * y + ty
 

@@ -22,14 +22,22 @@ _lib = None
 
 
 def ensure_built():
-    """Build the native library if missing; return the loaded CDLL."""
+    """(Re)build the native library and return the loaded CDLL.
+
+    make runs unconditionally (it is incremental, ~no cost when current):
+    gating on the .so's existence would silently load a stale library after
+    source edits and make the parity tests validate against an old oracle.
+    """
     global _lib
     with _lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_LIB_PATH):
+        try:
             subprocess.run(["make"], cwd=_NATIVE_DIR, check=True,
-                           capture_output=True)
+                           capture_output=True, text=True)
+        except subprocess.CalledProcessError as e:
+            raise RuntimeError(
+                f"building libshermbot_host failed:\n{e.stderr}") from e
         lib = ctypes.CDLL(_LIB_PATH)
 
         lib.sb_engine_create.restype = ctypes.c_void_p

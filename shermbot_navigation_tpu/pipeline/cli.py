@@ -75,23 +75,65 @@ def _cmd_run(args):
 def _run_native(args):
     """Run the scenario on the in-process C++ host engine
     (shermbot_navigation_tpu.native) — the low-latency serving path with no
-    JAX/TPU dependency. Deterministic (noise at its mean) unless --seed
-    is negative; circle commands only (all registered scenarios)."""
+    JAX/TPU dependency. Deterministic (noise at its mean) when --seed >= 0;
+    a negative seed enables sampled noise (seeded with |seed|).
+
+    The native engine implements the reference algorithm exactly (first-hit
+    association, gates 0.01/60, unwrapped innovations, Q=.1/R=.001,
+    reference slip); scenarios that configure anything else are rejected
+    rather than silently run with different algorithms under the same name.
+    """
     from ..native import HostEngine
     from .config import get_scenario
 
     scn = get_scenario(args.scenario)
     if scn.command[0] != "circle":
         raise SystemExit("native engine supports circle commands only")
+    unsupported = []
+    if scn.assoc_mode != "first_hit":
+        unsupported.append(f"assoc_mode={scn.assoc_mode}")
+    if scn.wrap_innovation:
+        unsupported.append("wrap_innovation")
+    if scn.slip_mode != "reference":
+        unsupported.append(f"slip_mode={scn.slip_mode}")
+    if (scn.match_gate, scn.new_gate) != (0.01, 60.0):
+        unsupported.append(f"gates={scn.match_gate}/{scn.new_gate}")
+    if tuple(scn.q_diag) != (0.1, 0.1, 0.1) or tuple(scn.r_diag) != (
+            0.001, 0.001):
+        unsupported.append("non-default Q/R")
+    if scn.scan_noise or scn.sensor_dropout or scn.scan_dropout:
+        unsupported.append("scan_noise/dropout")
+    if unsupported:
+        raise SystemExit(
+            "native engine runs the reference algorithm only; scenario "
+            f"'{scn.name}' configures: {', '.join(unsupported)} — use the "
+            "JAX engine for these knobs")
+    if scn.num_landmarks > 1024:
+        raise SystemExit(
+            f"native engine is dense O(D^3); capacity {scn.num_landmarks} "
+            "is a large-map workload — use the JAX blocked/megamap engines")
     w, v = scn.command[1], scn.command[2]
     eng = HostEngine(
         tubes=list(scn.tubes), capacity=scn.num_landmarks,
         known_assoc=scn.known_association, use_lidar=scn.use_lidar,
         max_range=scn.max_range, tube_var=scn.tube_var,
         twist_noise=scn.twist_noise, slip_min=scn.slip_min,
-        slip_max=scn.slip_max, deterministic=True,
-        seed=max(args.seed, 0) + 12345, steps=scn.steps)
-    traj = eng.run(scn.steps, w, v, record=bool(args.traj))
+        slip_max=scn.slip_max, deterministic=args.seed >= 0,
+        seed=abs(args.seed) + 12345, steps=scn.steps)
+    tf = open(args.traj, "w") if args.traj else None
+    if tf:
+        tf.write("tick,true_th,true_x,true_y,odom_th,odom_x,odom_y,"
+                 "slam_th,slam_x,slam_y,n_seen\n")
+    for t in range(scn.steps):
+        n_seen = eng.tick(w, v)
+        if tf:
+            p = eng.poses
+            row = (*p["truth"], *p["odom"], *p["slam"])
+            tf.write(str(t) + "," +
+                     ",".join(f"{x:.12g}" for x in row) +
+                     f",{n_seen}\n")
+    if tf:
+        tf.close()
     out = {
         "scenario": scn.name,
         "engine": "native",
@@ -100,13 +142,6 @@ def _run_native(args):
         "ate_slam_m": eng.ate,
         "ate_odom_m": eng.ate_odom,
     }
-    if args.traj:
-        with open(args.traj, "w") as f:
-            f.write("tick,true_th,true_x,true_y,odom_th,odom_x,odom_y,"
-                    "slam_th,slam_x,slam_y\n")
-            for t in range(traj.shape[0]):
-                f.write(str(t) + "," +
-                        ",".join(f"{x:.12g}" for x in traj[t]) + "\n")
     print(json.dumps(out))
 
 
