@@ -78,10 +78,13 @@ def init(config: EKFConfig, batch: int, robot_pose=None, dtype=jnp.float32
     mean_r = jnp.zeros((B, 3), dtype)
     if robot_pose is not None:
         mean_r = jnp.broadcast_to(jnp.asarray(robot_pose, dtype), (B, 3))
+    # block-diagonal prior as a broadcasted product — the equivalent
+    # .at[:, ii, :, ii, :].set(diag) scatter materializes a tile-padded
+    # transposed intermediate (~32x inflation: 64 GiB at N=8192)
     diag = jnp.eye(2, dtype=dtype) * jnp.asarray(config.init_cov, dtype)
-    cov_mm = jnp.zeros((B, N, 2, N, 2), dtype)
-    ii = jnp.arange(N)
-    cov_mm = cov_mm.at[:, ii, :, ii, :].set(diag)
+    cov_mm = (jnp.eye(N, dtype=dtype)[None, :, None, :, None]
+              * diag[None, None, :, None, :])
+    cov_mm = jnp.broadcast_to(cov_mm, (B, N, 2, N, 2))
     return BlockedState(
         mean_r=mean_r,
         mean_m=jnp.zeros((B, N, 2), dtype),
