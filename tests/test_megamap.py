@@ -53,3 +53,39 @@ def test_midscale_quality_pin():
     le = np.asarray(out.landmarks - prob.truth_lms)
     assert float(np.sqrt(np.mean(np.sum(pe ** 2, -1)))) < 0.01
     assert float(np.sqrt(np.mean(np.sum(le ** 2, -1)))) < 0.01
+
+
+def test_refinement_checkpoint_resume():
+    """Config-5 refinement is restartable: checkpoint the bundle mid-way,
+    reload, continue — bitwise-identical to the uninterrupted run (the
+    multi-host elastic-recovery story from SURVEY.md section 5)."""
+    import numpy as np
+    import jax
+    from shermbot_navigation_tpu.models import pose_graph as pg
+    from shermbot_navigation_tpu.parallel import megamap, schur_dist
+    from shermbot_navigation_tpu.parallel.mesh import make_mesh
+    from shermbot_navigation_tpu.pipeline import checkpoint
+    import tempfile, os
+
+    mesh = make_mesh(jax.devices()[:2], data=1, map_=2)
+    prob = megamap.synthesize(64, 24, 4)
+    g = pg.optimize_host(prob.graph, iters=3)
+    part = schur_dist.partition_problem(
+        prob.bundle._replace(poses=g.poses), 2)
+    step = schur_dist.make_sharded_gn(
+        mesh, T=24, N=64, M=part.obs_t.shape[0], cg_iters=20, gn_steps=2)
+
+    full = step(step(part))                       # 4 GN steps straight
+
+    half = step(part)                             # 2 steps, checkpoint
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "bundle.npz")
+        checkpoint.save(path, half, step=2)
+        restored, saved_step = checkpoint.load(path, half)
+        assert saved_step == 2
+    resumed = step(restored)                      # 2 more after reload
+
+    np.testing.assert_array_equal(np.asarray(full.poses),
+                                  np.asarray(resumed.poses))
+    np.testing.assert_array_equal(np.asarray(full.landmarks),
+                                  np.asarray(resumed.landmarks))
