@@ -26,12 +26,14 @@ def main():
     from jax.sharding import NamedSharding
 
     N = int(os.environ.get("BIGMAP_N", "2048"))
+    unknown = bool(int(os.environ.get("BIGMAP_UNKNOWN", "0")))
     M = 8
     T = 50
     mesh = make_mesh(jax.devices()[:1], data=1)
     cfg = EKFConfig(num_landmarks=N)
     wl = bigmap.make_workload(N, T, M, jax.random.PRNGKey(0))
-    runner = bigmap.make_runner(cfg, mesh, 1, M)
+    runner = (bigmap.make_unknown_runner if unknown
+              else bigmap.make_runner)(cfg, mesh, 1, M)
     state = blocked_ekf.init(cfg, 1)
     specs = blocked_ekf.state_sharding(mesh)
     state = jax.tree_util.tree_map(
@@ -50,6 +52,7 @@ def main():
     bytes_per_update = 2 * 4 * D * D                   # read + write Sigma_mm
     print(json.dumps({
         "metric": "blocked_ekf_ticks_per_sec",
+        "association": "unknown" if unknown else "known",
         "value": round(T / dt, 2),
         "unit": "ticks/s",
         "N_landmarks": N,

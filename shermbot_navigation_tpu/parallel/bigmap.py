@@ -96,6 +96,39 @@ def make_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int):
     return run
 
 
+def make_unknown_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int):
+    """Like :func:`make_runner` but with UNKNOWN association: every
+    measurement is gated by the blockwise-distributed Mahalanobis first-hit
+    scan (`blocked_ekf.make_sharded_unknown_step`) instead of carrying its
+    landmark id — the config-4 workload at the reference's association
+    semantics."""
+    step = blocked_ekf.make_sharded_unknown_step(cfg, mesh, batch, M)
+
+    @functools.partial(jax.jit, static_argnames=("ticks",))
+    def run(state, wl: BigMapWorkload, Q, R, t0, ticks: int):
+        dtype = state.mean_r.dtype
+
+        def body(carry, t):
+            st = carry
+            pose = _true_pose(wl.cmd, t.astype(dtype) + 1.0, dtype)
+            ids = wl.schedule[t % wl.schedule.shape[0]]
+            lm = wl.landmarks[ids]
+            dx = lm[:, 0] - pose[1]
+            dy = lm[:, 1] - pose[2]
+            zs = cartesian2polar(dx, dy)
+            zs = zs.at[:, 1].set(se2.normalize_angle(zs[:, 1] - pose[0]))
+            zsb = jnp.broadcast_to(zs, (batch, M, 2))
+            valid = jnp.ones((batch, M), bool)
+            tw = jnp.broadcast_to(wl.cmd[t % wl.cmd.shape[0]], (batch, 3))
+            st = step(st, tw, zsb, valid, Q, R)
+            return st, None
+
+        state, _ = jax.lax.scan(body, state, t0 + jnp.arange(ticks))
+        return state
+
+    return run
+
+
 def run_bigmap(N: int = 2048, T: int = 32, M: int = 8, batch: int = 1,
                mesh: Mesh | None = None, dtype=jnp.float32):
     """End-to-end config-4 run; returns (final BlockedState, workload)."""
