@@ -66,3 +66,34 @@ def test_unknown_matches_dense(map_devices):
         np.testing.assert_allclose(bst.cov_rr[b], cov_rr, atol=1e-8)
         np.testing.assert_allclose(bst.cov_rm[b][:, :ns], cov_rm[:, :ns],
                                    atol=1e-8)
+
+
+def test_unknown_runner_sweeps_map():
+    """The config-4 unknown-association runner (bigmap.make_unknown_runner)
+    initializes most of the map through the distributed first-hit gate and
+    stays finite — ties the sharded association to the sweep workload
+    end-to-end (the TPU bench path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding
+    from shermbot_navigation_tpu.models.ekf_slam import EKFConfig
+    from shermbot_navigation_tpu.parallel import bigmap, blocked_ekf
+    from shermbot_navigation_tpu.parallel.mesh import make_mesh
+
+    N, M, T = 256, 8, 40
+    mesh = make_mesh(jax.devices()[:2], data=1, map_=2)
+    cfg = EKFConfig(num_landmarks=N)
+    wl = bigmap.make_workload(N, T, M, jax.random.PRNGKey(0))
+    runner = bigmap.make_unknown_runner(cfg, mesh, 1, M)
+    state = blocked_ekf.init(cfg, 1)
+    specs = blocked_ekf.state_sharding(mesh)
+    state = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), state, specs)
+    Q = jnp.diag(jnp.array([1e-4] * 3, jnp.float32))
+    R = jnp.diag(jnp.array([1e-3] * 2, jnp.float32))
+    out = runner(state, wl, Q, R, jnp.int32(0), T)
+    n_seen = int(out.n_seen[0])
+    assert 100 < n_seen <= N          # most of the sweep got initialized
+    assert np.isfinite(np.asarray(out.mean_m)).all()
+    assert np.isfinite(np.asarray(out.cov_rr)).all()
