@@ -169,6 +169,9 @@ def _update_shard(config, st, z, j, R, n_local):
 
     # Sigma H^T, local map rows (Nl, 2, 2):
     # build (Nl, 2, 5): [cov_mr (Nl,2,3), cov_mm[:, :, j, :] (Nl,2,2)]
+    # (XLA fuses the transpose+dynamic-index into a strided gather — an
+    # owner-row psum via grid symmetry was tried and measured SLOWER, and
+    # it doubles the per-update collective volume; see BENCH_NOTES.)
     cov_mr = jnp.transpose(st.cov_rm, (1, 2, 0))          # (Nl, 2, 3)
     mm_colj = jax.lax.dynamic_index_in_dim(
         jnp.transpose(st.cov_mm, (2, 0, 1, 3)), j, axis=0,
@@ -264,15 +267,18 @@ def _init_landmark_shard(config, st, z, j, R, n_local):
             st.cov_mm, cross_m[None], j_safe, axis=0),
         st.cov_mm)
     # write the column block on EVERY shard: cov_mm[:, :, j, :] = cross_m^T local
-    # local rows' part of the column = (local cols of cross_m)^T
+    # local rows' part of the column = (local cols of cross_m)^T.
+    # One-hot select instead of transpose/scatter/transpose: the round-trip
+    # transpose materializes two full-grid passes on TPU (BENCH_NOTES
+    # pathology 11); the select fuses into a single pass.
     n_l = st.mean_m.shape[0]
     local_cols = jax.lax.dynamic_slice_in_dim(
         cross_m, shard * jnp.int32(n_l), n_l, axis=1)                        # (2, Nl, 2)
     col_block = jnp.transpose(local_cols, (1, 2, 0))              # (Nl, 2, 2)
-    cov_mm = jnp.transpose(
-        jax.lax.dynamic_update_index_in_dim(
-            jnp.transpose(cov_mm, (2, 0, 1, 3)), col_block, j, axis=0),
-        (1, 2, 0, 3))
+    N = cov_mm.shape[2]
+    col_onehot = jnp.arange(N, dtype=jnp.int32) == j              # (N,)
+    cov_mm = jnp.where(col_onehot[None, None, :, None],
+                       col_block[:, :, None, :], cov_mm)
 
     # own 2x2 block: Gx Srr Gx^T + Gz R Gz^T (overwrites the prior diag)
     block = (jnp.matmul(jnp.matmul(Gx, st.cov_rr, precision=PRECISION),
@@ -313,7 +319,12 @@ def _associate_shard(config, st, z, R, n_local):
     Srr = st.cov_rr                                  # (3,3) replicated
     Srm = jnp.transpose(st.cov_rm, (1, 0, 2))        # (Nl, 3, 2)
     ii = jnp.arange(n_local)
-    Smm = jnp.transpose(st.cov_mm, (2, 0, 1, 3))[off + ii, ii]   # (Nl, 2, 2)
+    # own-block diagonal of the local grid rows: cov_mm[n, :, off+n, :],
+    # gathered along axis 2 directly (a transpose of the whole grid would
+    # materialize full-grid passes — BENCH_NOTES pathology 11)
+    Smm = jnp.take_along_axis(
+        st.cov_mm, (off + ii)[:, None, None, None], axis=2)[:, :, 0, :]
+    # (Nl, 2, 2)
 
     top = jnp.concatenate(
         [jnp.broadcast_to(Srr, (n_local, 3, 3)), Srm], axis=2)
