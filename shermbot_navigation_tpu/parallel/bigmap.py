@@ -62,11 +62,18 @@ def _true_pose(cmd, t, dtype):
     return jnp.stack([th, x, y]).astype(dtype)
 
 
-def make_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int):
+def make_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int,
+                deferred: bool = True):
     """Build ``run(state, workload, Q, R, t0, ticks) -> state`` jitted over
     the mesh: generates measurements on device and applies the sharded
-    blocked step ``ticks`` times via lax.scan."""
-    step = blocked_ekf.make_sharded_step(cfg, mesh, batch, M)
+    blocked step ``ticks`` times via lax.scan.
+
+    ``deferred=True`` (default) uses the rank-2M grid update — one full
+    landmark-grid pass per tick instead of per measurement, identical
+    semantics (test_blocked_ekf::test_deferred_matches_sequential)."""
+    maker = (blocked_ekf.make_sharded_deferred_step if deferred
+             else blocked_ekf.make_sharded_step)
+    step = maker(cfg, mesh, batch, M)
 
     @functools.partial(jax.jit, static_argnames=("ticks",))
     def run(state, wl: BigMapWorkload, Q, R, t0, ticks: int):

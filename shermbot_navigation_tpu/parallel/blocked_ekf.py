@@ -425,6 +425,273 @@ def make_sharded_step(config: EKFConfig, mesh: Mesh, batch: int,
     return jax.jit(fn)
 
 
+def make_sharded_deferred_step(config: EKFConfig, mesh: Mesh, batch: int,
+                               max_meas: int):
+    """Known-association SLAM tick with a DEFERRED landmark-grid update.
+
+    Semantically identical to :func:`make_sharded_step` (same sequential
+    per-measurement ordering, PARITY P5), but the (N,2,N,2) landmark grid —
+    the only O(N^2) state — is read and written ONCE PER TICK instead of
+    once per measurement. The sequential scan over measurements touches
+    only O(N) strips:
+
+    - each update's Kalman gain needs one grid COLUMN at its pre-update
+      value; that column is reconstructed from ``cov_mm0`` (the tick's
+      input grid) plus the tick's earlier ops: rank-2 subtractions are
+      re-applied from the buffered (K_i, HSigma_i) strips and init
+      row/column overwrites from the buffered cross strips — O(M * N) work,
+      no grid traffic;
+    - init writes (row, column, own block) are buffered, not applied.
+
+    After the scan, ONE fused pass assembles the final grid: for every
+    entry the last overwrite (if any) wins and only later rank-2 terms are
+    subtracted — the (i > last_init) masks factor per-row and per-column,
+    so the combined subtraction is a single (2*Nl, 2*M) x (2*M, 2*N)
+    matmul. In exact arithmetic this equals the sequential result; in f32
+    only summation order differs (pinned by test_blocked_ekf to fp
+    tolerance).
+
+    HBM traffic per tick drops from ~2*M full-grid passes to ~2-3, which is
+    what the measured config-4 throughput is bound by (BENCH_NOTES).
+    """
+    N = config.num_landmarks
+    n_map = mesh.shape["map"]
+    if N % n_map:
+        raise ValueError(f"num_landmarks {N} not divisible by map={n_map}")
+    n_local = N // n_map
+    M = max_meas
+
+    specs = state_sharding(mesh)
+    in_specs = (specs, P("data", None), P("data", None, None),
+                P("data", None), P("data", None), P(None, None), P(None, None))
+
+    def shard_fn(st, twist, zs, valid, ids, Q, R):
+        def one(st1, tw1, zs1, va1, id1):
+            dtype = st1.mean_r.dtype
+            st1 = _predict_shard(config, st1, tw1, Q)
+            cov_mm0 = st1.cov_mm                     # (Nl, 2, N, 2) frozen
+            shard = jax.lax.axis_index("map").astype(jnp.int32)
+            off = shard * jnp.int32(n_local)
+            mm0_T = jnp.transpose(cov_mm0, (2, 0, 1, 3))   # (N, Nl, 2, 2)
+
+            # op-history buffers (local K, global HSigma / cross strips)
+            Kbuf = jnp.zeros((M, n_local, 2, 2), dtype)
+            HSbuf = jnp.zeros((M, N, 2, 2), dtype)
+            CRbuf = jnp.zeros((M, 2, N, 2), dtype)
+            Bbuf = jnp.zeros((M, 2, 2), dtype)
+            gbuf = jnp.zeros((M,), jnp.int32)
+            kindbuf = jnp.zeros((M,), jnp.int32)     # 0 none / 1 update / 2 init
+
+            def col_at(bufs, j, g):
+                """Grid column g (local rows, (Nl,2,2)) after ops 0..j-1."""
+                Kb, HSb, CRb, Bb, gb, kb = bufs
+                col = jax.lax.dynamic_index_in_dim(mm0_T, g, axis=0,
+                                                   keepdims=False)
+                g_loc = g - off
+                rows = jnp.arange(n_local, dtype=jnp.int32)
+                for i in range(M):
+                    past = jnp.asarray(i, jnp.int32) < j
+                    is_upd = past & (kb[i] == 1)
+                    is_init = past & (kb[i] == 2)
+                    s_i = gb[i]
+                    # rank-2 subtraction on this column
+                    corr = jnp.einsum("npq,rq->npr", Kb[i],
+                                      jax.lax.dynamic_index_in_dim(
+                                          HSb[i], g, axis=0, keepdims=False),
+                                      precision=PRECISION)
+                    col = jnp.where(is_upd, col - corr, col)
+                    # init at slot s_i == g: whole column overwritten with
+                    # the cross strip (local slice, transposed), own block
+                    # at the diagonal row
+                    cr_loc = jax.lax.dynamic_slice_in_dim(
+                        CRb[i], off, n_local, axis=1)          # (2, Nl, 2)
+                    over = jnp.transpose(cr_loc, (1, 2, 0))    # (Nl, 2, 2)
+                    diag_row = (rows == (s_i - off))[:, None, None]
+                    over = jnp.where(diag_row, Bb[i][None], over)
+                    col = jnp.where(is_init & (s_i == g), over, col)
+                    # init at another slot: row s_i of this column becomes
+                    # the cross strip's column g (if s_i is a local row)
+                    row_val = jax.lax.dynamic_index_in_dim(
+                        CRb[i], g, axis=1, keepdims=False)      # (2,2)[p,r]
+                    hit_row = (rows == (s_i - off))[:, None, None]
+                    col = jnp.where(is_init & (s_i != g) & hit_row,
+                                    row_val[None], col)
+                return col
+
+            def body(carry, inp):
+                s, bufs, j = carry
+                z, v, g = inp
+                g = g.astype(jnp.int32)
+                Kb, HSb, CRb, Bb, gb, kb = bufs
+                g_loc = g - off
+                owns = (g_loc >= 0) & (g_loc < n_local)
+                g_safe = jnp.clip(g_loc, 0, n_local - 1).astype(jnp.int32)
+                seen = jax.lax.psum(
+                    jnp.where(owns,
+                              s.seen[g_safe].astype(jnp.int32), 0),
+                    "map") > 0
+                is_new = v & ~seen
+                do_update = v & seen
+
+                # ---- measurement geometry off the sequential means ----
+                mj = jax.lax.psum(
+                    jnp.where(owns, 1.0, 0.0) * jax.lax.dynamic_index_in_dim(
+                        s.mean_m, g_safe, axis=0, keepdims=False), "map")
+                H5, z_hat = _h5_coeffs(s.mean_r, mj, s.mean_r.dtype)
+                dz = z - z_hat
+                if config.wrap_innovation:
+                    dz = dz.at[1].set(se2.normalize_angle(dz[1]))
+
+                # ---- UPDATE branch: gains from strips + reconstructed col
+                rm_j = jax.lax.psum(
+                    jnp.where(owns, 1.0, 0.0) * jax.lax.dynamic_index_in_dim(
+                        s.cov_rm, g_safe, axis=1, keepdims=False), "map")
+                SHt_r = jnp.matmul(
+                    jnp.concatenate([s.cov_rr, rm_j], axis=1), H5.T,
+                    precision=PRECISION)                          # (3, 2)
+                mm_colj = col_at(bufs, j, g)                      # (Nl, 2, 2)
+                cov_mr = jnp.transpose(s.cov_rm, (1, 2, 0))       # (Nl, 2, 3)
+                cols5_m = jnp.concatenate([cov_mr, mm_colj], axis=-1)
+                SHt_m = jnp.einsum("npk,qk->npq", cols5_m, H5,
+                                   precision=PRECISION)           # (Nl, 2, 2)
+                SHt_j = jax.lax.psum(
+                    jnp.where(owns, 1.0, 0.0) * jax.lax.dynamic_index_in_dim(
+                        SHt_m, g_safe, axis=0, keepdims=False), "map")
+                psi = jnp.matmul(
+                    H5, jnp.concatenate([SHt_r, SHt_j], axis=0),
+                    precision=PRECISION) + R
+                psi_inv = _inv2x2(psi)
+                K_r = jnp.matmul(SHt_r, psi_inv, precision=PRECISION)
+                K_m = jnp.einsum("npq,qr->npr", SHt_m, psi_inv,
+                                 precision=PRECISION)
+                HS_full = jax.lax.all_gather(SHt_m, "map", axis=0,
+                                             tiled=True)         # (N, 2, 2)
+
+                upd_mean_r = s.mean_r + jnp.matmul(K_r, dz,
+                                                   precision=PRECISION)
+                upd_mean_r = upd_mean_r.at[0].set(
+                    se2.normalize_angle(upd_mean_r[0]))
+                upd_mean_m = s.mean_m + jnp.einsum(
+                    "npq,q->np", K_m, dz, precision=PRECISION)
+                upd_cov_rr = s.cov_rr - jnp.matmul(K_r, SHt_r.T,
+                                                   precision=PRECISION)
+                if config.symmetrize:
+                    upd_cov_rr = 0.5 * (upd_cov_rr + upd_cov_rr.T)
+                upd_cov_rm = s.cov_rm - jnp.einsum(
+                    "iq,npq->inp", K_r, SHt_m, precision=PRECISION)
+
+                # ---- INIT branch: strips only; grid writes buffered ----
+                th, x, y = s.mean_r[0], s.mean_r[1], s.mean_r[2]
+                a = z[1] + th
+                r_ = z[0]
+                sa, ca = jnp.sin(a), jnp.cos(a)
+                m_new = jnp.stack([x + r_ * ca, y + r_ * sa])
+                Gx = jnp.stack(
+                    [jnp.stack([-r_ * sa, jnp.ones_like(r_),
+                                jnp.zeros_like(r_)]),
+                     jnp.stack([r_ * ca, jnp.zeros_like(r_),
+                                jnp.ones_like(r_)])])
+                Gz = jnp.stack([jnp.stack([ca, -r_ * sa]),
+                                jnp.stack([sa, r_ * ca])])
+                rm_full = jax.lax.all_gather(s.cov_rm, "map", axis=1,
+                                             tiled=True)          # (3, N, 2)
+                cross_m = jnp.einsum("pi,imq->pmq", Gx, rm_full,
+                                     precision=PRECISION)         # (2, N, 2)
+                B_own = (jnp.matmul(
+                    jnp.matmul(Gx, s.cov_rr, precision=PRECISION), Gx.T,
+                    precision=PRECISION)
+                    + jnp.matmul(jnp.matmul(Gz, R, precision=PRECISION),
+                                 Gz.T, precision=PRECISION))
+                cross_r = jnp.matmul(Gx, s.cov_rr, precision=PRECISION).T
+                ini_mean_m = jnp.where(
+                    owns, jax.lax.dynamic_update_index_in_dim(
+                        s.mean_m, m_new, g_safe, axis=0), s.mean_m)
+                ini_cov_rm = jnp.where(
+                    owns, jax.lax.dynamic_update_index_in_dim(
+                        s.cov_rm, cross_r, g_safe, axis=1), s.cov_rm)
+                seen_upd = jnp.where(
+                    owns, s.seen.at[g_safe].set(True), s.seen)
+
+                # ---- select sequential state ----
+                s = s._replace(
+                    mean_r=jnp.where(do_update, upd_mean_r, s.mean_r),
+                    mean_m=jnp.where(do_update, upd_mean_m,
+                                     jnp.where(is_new, ini_mean_m, s.mean_m)),
+                    cov_rr=jnp.where(do_update, upd_cov_rr, s.cov_rr),
+                    cov_rm=jnp.where(do_update, upd_cov_rm,
+                                     jnp.where(is_new, ini_cov_rm, s.cov_rm)),
+                    n_seen=s.n_seen + is_new.astype(s.n_seen.dtype),
+                    seen=jnp.where(is_new, seen_upd, s.seen))
+
+                # ---- record the op ----
+                kind = jnp.where(do_update, 1, jnp.where(is_new, 2, 0)
+                                 ).astype(jnp.int32)
+                zK = jnp.where(do_update, K_m, jnp.zeros_like(K_m))
+                zHS = jnp.where(do_update, HS_full, jnp.zeros_like(HS_full))
+                bufs = (
+                    jax.lax.dynamic_update_index_in_dim(Kb, zK, j, axis=0),
+                    jax.lax.dynamic_update_index_in_dim(HSb, zHS, j, axis=0),
+                    jax.lax.dynamic_update_index_in_dim(
+                        CRb, jnp.where(is_new, cross_m,
+                                       jnp.zeros_like(cross_m)), j, axis=0),
+                    jax.lax.dynamic_update_index_in_dim(
+                        Bb, jnp.where(is_new, B_own, jnp.zeros_like(B_own)),
+                        j, axis=0),
+                    jax.lax.dynamic_update_index_in_dim(
+                        gb, jnp.where(v, g, -1), j, axis=0),
+                    jax.lax.dynamic_update_index_in_dim(kb, kind, j, axis=0),
+                )
+                return (s, bufs, j + 1), None
+
+            bufs0 = (Kbuf, HSbuf, CRbuf, Bbuf, gbuf, kindbuf)
+            (st1, bufs, _), _ = jax.lax.scan(
+                body, (st1, bufs0, jnp.int32(0)), (zs1, va1, id1))
+            Kb, HSb, CRb, Bb, gb, kb = bufs
+
+            # ---- ONE fused grid pass: overwrites + combined rank-2M ----
+            iota = jnp.arange(M, dtype=jnp.int32)
+            is_init_op = kb == 2
+            grow = off + jnp.arange(n_local, dtype=jnp.int32)      # (Nl,)
+            gcol = jnp.arange(N, dtype=jnp.int32)                  # (N,)
+            rowT = jnp.max(jnp.where(is_init_op[:, None]
+                                     & (gb[:, None] == grow[None, :]),
+                                     iota[:, None], -1), axis=0)   # (Nl,)
+            colT = jnp.max(jnp.where(is_init_op[:, None]
+                                     & (gb[:, None] == gcol[None, :]),
+                                     iota[:, None], -1), axis=0)   # (N,)
+
+            Kmask = Kb * (iota[:, None] > rowT[None, :]
+                          )[:, :, None, None].astype(Kb.dtype)
+            HSmask = HSb * (iota[:, None] > colT[None, :]
+                            )[:, :, None, None].astype(HSb.dtype)
+            sub = jnp.einsum("inpq,imrq->npmr", Kmask, HSmask,
+                             precision=PRECISION)                 # grid-shaped
+
+            rT = jnp.maximum(rowT, 0)
+            cT = jnp.maximum(colT, 0)
+            row_over = CRb[rT]                                    # (Nl,2,N,2)
+            cr_loc = jax.lax.dynamic_slice_in_dim(
+                CRb, off, n_local, axis=2)                        # (M,2,Nl,2)
+            col_over = jnp.transpose(cr_loc[cT], (2, 3, 0, 1))    # (Nl,2,N,2)
+            b_diag = Bb[rT][:, :, None, :]                        # (Nl,2,1,2)
+            t_n = rowT[:, None, None, None]
+            t_m = colT[None, None, :, None]
+            base = jnp.where(
+                t_n > t_m, row_over,
+                jnp.where(t_m > t_n, col_over,
+                          jnp.where(t_n >= 0,
+                                    jnp.broadcast_to(
+                                        b_diag, st1.cov_mm.shape),
+                                    st1.cov_mm)))
+            return st1._replace(cov_mm=base - sub)
+
+        return jax.vmap(one)(st, twist, zs, valid, ids)
+
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs, out_specs=specs,
+                   check_vma=False)
+    return jax.jit(fn)
+
+
 def make_sharded_unknown_step(config: EKFConfig, mesh: Mesh, batch: int,
                               max_meas: int):
     """Mesh-sharded SLAM tick with UNKNOWN association: the reference's

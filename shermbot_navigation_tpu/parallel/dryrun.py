@@ -55,6 +55,12 @@ def run(n_devices: int) -> None:
     assert bool(jnp.isfinite(out2.mean_r).all())
     assert bool(jnp.isfinite(out2.cov_rr).all())
 
+    # deferred rank-2M grid update (the production config-4 step)
+    dstep = blocked_ekf.make_sharded_deferred_step(cfg, m, B, M)
+    outd = dstep(out, twist, zs, valid, ids, Q, R)
+    jax.block_until_ready(outd)
+    assert bool(jnp.isfinite(outd.mean_r).all())
+
     # unknown-association sharded tick (pmin first-hit gating)
     ustep = blocked_ekf.make_sharded_unknown_step(cfg, m, B, M)
     out3 = ustep(out2, twist, zs, valid, Q, R)

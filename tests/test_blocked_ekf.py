@@ -118,3 +118,42 @@ def test_one_vs_many_devices_bitwise():
     np.testing.assert_allclose(a.mean_r, b.mean_r, atol=1e-12)
     np.testing.assert_allclose(a.mean_m, b.mean_m, atol=1e-12)
     np.testing.assert_allclose(a.cov_rm, b.cov_rm, atol=1e-11)
+
+
+@pytest.mark.parametrize("map_devices", [1, 4])
+def test_deferred_matches_sequential(map_devices):
+    """The deferred rank-2M grid update (one grid pass per tick) must equal
+    the per-measurement sequential step — same inits/updates/skips, same
+    sequential ordering semantics, only fp summation order differs."""
+    dtype = jnp.float64
+    cfg = ekf.EKFConfig(num_landmarks=N)
+    Q = jnp.diag(jnp.array([0.1, 0.1, 0.1], dtype))
+    R = jnp.diag(jnp.array([0.001, 0.001], dtype))
+    twists, zs, valid, ids = make_inputs(seed=5, dtype=dtype)
+
+    mesh = mesh_lib.make_mesh(jax.devices()[:map_devices], data=1)
+    results = []
+    for maker in (blocked_ekf.make_sharded_step,
+                  blocked_ekf.make_sharded_deferred_step):
+        step = maker(cfg, mesh, B, M)
+        bst = blocked_ekf.init(cfg, B, dtype=dtype)
+        specs = blocked_ekf.state_sharding(mesh)
+        bst = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), bst,
+            specs)
+        for t in range(4):
+            bst = step(bst, twists[:, t], zs[:, t], valid[:, t], ids[:, t],
+                       Q, R)
+        results.append(jax.tree_util.tree_map(np.asarray, bst))
+
+    a, b = results
+    np.testing.assert_array_equal(a.n_seen, b.n_seen)
+    np.testing.assert_array_equal(a.seen, b.seen)
+    np.testing.assert_allclose(a.mean_r, b.mean_r, atol=1e-10)
+    np.testing.assert_allclose(a.mean_m, b.mean_m, atol=1e-10)
+    np.testing.assert_allclose(a.cov_rr, b.cov_rr, atol=1e-9)
+    np.testing.assert_allclose(a.cov_rm, b.cov_rm, atol=1e-9)
+    for bb in range(B):
+        ns = int(a.n_seen[bb])
+        np.testing.assert_allclose(a.cov_mm[bb][:ns, :, :ns, :],
+                                   b.cov_mm[bb][:ns, :, :ns, :], atol=1e-8)
