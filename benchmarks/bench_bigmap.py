@@ -32,11 +32,9 @@ def main():
     mesh = make_mesh(jax.devices()[:1], data=1)
     cfg = EKFConfig(num_landmarks=N)
     wl = bigmap.make_workload(N, T, M, jax.random.PRNGKey(0))
-    if unknown:
-        runner = bigmap.make_unknown_runner(cfg, mesh, 1, M)
-    else:
-        deferred = not bool(int(os.environ.get("BIGMAP_SEQUENTIAL", "0")))
-        runner = bigmap.make_runner(cfg, mesh, 1, M, deferred=deferred)
+    deferred = not bool(int(os.environ.get("BIGMAP_SEQUENTIAL", "0")))
+    runner = (bigmap.make_unknown_runner if unknown
+              else bigmap.make_runner)(cfg, mesh, 1, M, deferred=deferred)
     state = blocked_ekf.init(cfg, 1)
     specs = blocked_ekf.state_sharding(mesh)
     state = jax.tree_util.tree_map(

@@ -103,13 +103,17 @@ def make_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int,
     return run
 
 
-def make_unknown_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int):
+def make_unknown_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int,
+                        deferred: bool = True):
     """Like :func:`make_runner` but with UNKNOWN association: every
     measurement is gated by the blockwise-distributed Mahalanobis first-hit
-    scan (`blocked_ekf.make_sharded_unknown_step`) instead of carrying its
-    landmark id — the config-4 workload at the reference's association
-    semantics."""
-    step = blocked_ekf.make_sharded_unknown_step(cfg, mesh, batch, M)
+    scan instead of carrying its landmark id — the config-4 workload at the
+    reference's association semantics. ``deferred=True`` uses the rank-2M
+    one-grid-pass-per-tick step (identical gate decisions; association
+    scores against the carried diagonal strip)."""
+    maker = (blocked_ekf.make_sharded_deferred_unknown_step if deferred
+             else blocked_ekf.make_sharded_unknown_step)
+    step = maker(cfg, mesh, batch, M)
 
     @functools.partial(jax.jit, static_argnames=("ticks",))
     def run(state, wl: BigMapWorkload, Q, R, t0, ticks: int):

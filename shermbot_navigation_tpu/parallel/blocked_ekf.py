@@ -294,12 +294,16 @@ def _init_landmark_shard(config, st, z, j, R, n_local):
     return st._replace(mean_m=mean_m, cov_rm=cov_rm, cov_mm=cov_mm)
 
 
-def _associate_shard(config, st, z, R, n_local):
+def _associate_shard(config, st, z, R, n_local, Smm=None):
     """Blockwise Mahalanobis association with global first-hit resolution.
 
     Each shard scores its local landmark blocks (O(Nl)); the reference's
     first-hit decision (SURVEY section 2.4) is recovered with one pmin over
     the global index of the first sub-gate hit.
+
+    ``Smm`` optionally supplies the (Nl, 2, 2) own-block diagonal of the
+    landmark grid (the deferred step carries it as a strip instead of
+    reading the grid).
     """
     dtype = st.mean_r.dtype
     shard = jax.lax.axis_index("map")
@@ -319,11 +323,12 @@ def _associate_shard(config, st, z, R, n_local):
     Srr = st.cov_rr                                  # (3,3) replicated
     Srm = jnp.transpose(st.cov_rm, (1, 0, 2))        # (Nl, 3, 2)
     ii = jnp.arange(n_local)
-    # own-block diagonal of the local grid rows: cov_mm[n, :, off+n, :],
-    # gathered along axis 2 directly (a transpose of the whole grid would
-    # materialize full-grid passes — BENCH_NOTES pathology 11)
-    Smm = jnp.take_along_axis(
-        st.cov_mm, (off + ii)[:, None, None, None], axis=2)[:, :, 0, :]
+    if Smm is None:
+        # own-block diagonal of the local grid rows: cov_mm[n, :, off+n, :],
+        # gathered along axis 2 directly (a transpose of the whole grid
+        # would materialize full-grid passes)
+        Smm = jnp.take_along_axis(
+            st.cov_mm, (off + ii)[:, None, None, None], axis=2)[:, :, 0, :]
     # (Nl, 2, 2)
 
     top = jnp.concatenate(
@@ -425,9 +430,10 @@ def make_sharded_step(config: EKFConfig, mesh: Mesh, batch: int,
     return jax.jit(fn)
 
 
-def make_sharded_deferred_step(config: EKFConfig, mesh: Mesh, batch: int,
-                               max_meas: int):
-    """Known-association SLAM tick with a DEFERRED landmark-grid update.
+def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
+                           max_meas: int, known: bool):
+    """SLAM tick with a DEFERRED landmark-grid update (known or unknown
+    association; see the public wrappers below).
 
     Semantically identical to :func:`make_sharded_step` (same sequential
     per-measurement ordering, PARITY P5), but the (N,2,N,2) landmark grid —
@@ -462,10 +468,21 @@ def make_sharded_deferred_step(config: EKFConfig, mesh: Mesh, batch: int,
     M = max_meas
 
     specs = state_sharding(mesh)
-    in_specs = (specs, P("data", None), P("data", None, None),
-                P("data", None), P("data", None), P(None, None), P(None, None))
+    if known:
+        in_specs = (specs, P("data", None), P("data", None, None),
+                    P("data", None), P("data", None), P(None, None),
+                    P(None, None))
+    else:
+        in_specs = (specs, P("data", None), P("data", None, None),
+                    P("data", None), P(None, None), P(None, None))
 
-    def shard_fn(st, twist, zs, valid, ids, Q, R):
+    def shard_fn(st, twist, zs, valid, *rest):
+        if known:
+            ids, Q, R = rest
+        else:
+            Q, R = rest
+            ids = None
+
         def one(st1, tw1, zs1, va1, id1):
             dtype = st1.mean_r.dtype
             st1 = _predict_shard(config, st1, tw1, Q)
@@ -473,6 +490,10 @@ def make_sharded_deferred_step(config: EKFConfig, mesh: Mesh, batch: int,
             shard = jax.lax.axis_index("map").astype(jnp.int32)
             off = shard * jnp.int32(n_local)
             mm0_T = jnp.transpose(cov_mm0, (2, 0, 1, 3))   # (N, Nl, 2, 2)
+            ii_loc = jnp.arange(n_local, dtype=jnp.int32)
+            diag0 = jnp.take_along_axis(
+                cov_mm0, (off + ii_loc)[:, None, None, None],
+                axis=2)[:, :, 0, :]                  # (Nl, 2, 2) own blocks
 
             # op-history buffers (local K, global HSigma / cross strips)
             Kbuf = jnp.zeros((M, n_local, 2, 2), dtype)
@@ -519,19 +540,43 @@ def make_sharded_deferred_step(config: EKFConfig, mesh: Mesh, batch: int,
                 return col
 
             def body(carry, inp):
-                s, bufs, j = carry
-                z, v, g = inp
-                g = g.astype(jnp.int32)
+                s, bufs, diag, stopped, j = carry
+                if known:
+                    z, v, g = inp
+                    g = g.astype(jnp.int32)
+                else:
+                    z, v = inp
                 Kb, HSb, CRb, Bb, gb, kb = bufs
-                g_loc = g - off
-                owns = (g_loc >= 0) & (g_loc < n_local)
-                g_safe = jnp.clip(g_loc, 0, n_local - 1).astype(jnp.int32)
-                seen = jax.lax.psum(
-                    jnp.where(owns,
-                              s.seen[g_safe].astype(jnp.int32), 0),
-                    "map") > 0
-                is_new = v & ~seen
-                do_update = v & seen
+                if known:
+                    g_loc = g - off
+                    owns = (g_loc >= 0) & (g_loc < n_local)
+                    g_safe = jnp.clip(g_loc, 0, n_local - 1).astype(jnp.int32)
+                    seen = jax.lax.psum(
+                        jnp.where(owns,
+                                  s.seen[g_safe].astype(jnp.int32), 0),
+                        "map") > 0
+                    is_new = v & ~seen
+                    do_update = v & seen
+                    is_overflow = jnp.bool_(False)
+                else:
+                    # reference first-hit gating against the CARRIED own-
+                    # block diagonal (the grid itself is never read here)
+                    act = v & ~stopped
+                    any_hit, first, d_first = _associate_shard(
+                        config, s, z, R, n_local, Smm=diag)
+                    no_seen = s.n_seen == 0
+                    cap_full = s.n_seen >= N
+                    first_match = d_first < config.match_gate
+                    is_match = act & ~no_seen & any_hit & first_match
+                    want_new = act & (no_seen | ~any_hit)
+                    is_new = want_new & ~cap_full
+                    is_overflow = want_new & cap_full
+                    do_update = is_match
+                    new_slot = jnp.minimum(s.n_seen, N - 1).astype(jnp.int32)
+                    g = jnp.where(is_match, first, new_slot).astype(jnp.int32)
+                    g_loc = g - off
+                    owns = (g_loc >= 0) & (g_loc < n_local)
+                    g_safe = jnp.clip(g_loc, 0, n_local - 1).astype(jnp.int32)
 
                 # ---- measurement geometry off the sequential means ----
                 mj = jax.lax.psum(
@@ -623,6 +668,13 @@ def make_sharded_deferred_step(config: EKFConfig, mesh: Mesh, batch: int,
                     n_seen=s.n_seen + is_new.astype(s.n_seen.dtype),
                     seen=jnp.where(is_new, seen_upd, s.seen))
 
+                # ---- carried own-block diagonal (association input) ----
+                diag_upd = diag - jnp.einsum(
+                    "npq,nrq->npr", K_m, SHt_m, precision=PRECISION)
+                diag = jnp.where(do_update, diag_upd, diag)
+                hit_own = (ii_loc == g_loc)[:, None, None]
+                diag = jnp.where(is_new & hit_own, B_own[None], diag)
+
                 # ---- record the op ----
                 kind = jnp.where(do_update, 1, jnp.where(is_new, 2, 0)
                                  ).astype(jnp.int32)
@@ -638,14 +690,16 @@ def make_sharded_deferred_step(config: EKFConfig, mesh: Mesh, batch: int,
                         Bb, jnp.where(is_new, B_own, jnp.zeros_like(B_own)),
                         j, axis=0),
                     jax.lax.dynamic_update_index_in_dim(
-                        gb, jnp.where(v, g, -1), j, axis=0),
+                        gb, jnp.where(kind > 0, g, -1), j, axis=0),
                     jax.lax.dynamic_update_index_in_dim(kb, kind, j, axis=0),
                 )
-                return (s, bufs, j + 1), None
+                return (s, bufs, diag, stopped | is_overflow, j + 1), None
 
             bufs0 = (Kbuf, HSbuf, CRbuf, Bbuf, gbuf, kindbuf)
-            (st1, bufs, _), _ = jax.lax.scan(
-                body, (st1, bufs0, jnp.int32(0)), (zs1, va1, id1))
+            xs = (zs1, va1, id1) if known else (zs1, va1)
+            (st1, bufs, _, _, _), _ = jax.lax.scan(
+                body, (st1, bufs0, diag0, jnp.bool_(False), jnp.int32(0)),
+                xs)
             Kb, HSb, CRb, Bb, gb, kb = bufs
 
             # ---- ONE fused grid pass: overwrites + combined rank-2M ----
@@ -685,11 +739,32 @@ def make_sharded_deferred_step(config: EKFConfig, mesh: Mesh, batch: int,
                                     st1.cov_mm)))
             return st1._replace(cov_mm=base - sub)
 
-        return jax.vmap(one)(st, twist, zs, valid, ids)
+        if known:
+            return jax.vmap(one)(st, twist, zs, valid, ids)
+        return jax.vmap(one, in_axes=(0, 0, 0, 0, None))(
+            st, twist, zs, valid, None)
 
     fn = shard_map(shard_fn, mesh=mesh, in_specs=in_specs, out_specs=specs,
                    check_vma=False)
     return jax.jit(fn)
+
+
+def make_sharded_deferred_step(config: EKFConfig, mesh: Mesh, batch: int,
+                               max_meas: int):
+    """Known-association deferred tick: semantics of
+    :func:`make_sharded_step`, one grid pass per tick (see
+    :func:`_make_sharded_deferred`)."""
+    return _make_sharded_deferred(config, mesh, batch, max_meas, known=True)
+
+
+def make_sharded_deferred_unknown_step(config: EKFConfig, mesh: Mesh,
+                                       batch: int, max_meas: int):
+    """Unknown-association deferred tick: semantics of
+    :func:`make_sharded_unknown_step` (reference first-hit Mahalanobis
+    gating, PARITY P2/P5), one grid pass per tick. Association scores
+    against a sequentially-carried own-block diagonal strip instead of
+    reading the grid."""
+    return _make_sharded_deferred(config, mesh, batch, max_meas, known=False)
 
 
 def make_sharded_unknown_step(config: EKFConfig, mesh: Mesh, batch: int,

@@ -97,3 +97,53 @@ def test_unknown_runner_sweeps_map():
     assert 100 < n_seen <= N          # most of the sweep got initialized
     assert np.isfinite(np.asarray(out.mean_m)).all()
     assert np.isfinite(np.asarray(out.cov_rr)).all()
+
+
+@pytest.mark.parametrize("map_devices", [1, 4])
+def test_deferred_unknown_matches_sequential(map_devices):
+    """Deferred rank-2M unknown-association tick == the per-measurement
+    sequential sharded tick: same first-hit gate decisions (association
+    scores against the carried diagonal strip), same init/update/skip
+    outcomes, fp-tolerance-equal state."""
+    dtype = jnp.float64
+    cfg = ekf.EKFConfig(num_landmarks=N)
+    Q = jnp.diag(jnp.array([0.1, 0.1, 0.1], dtype))
+    R = jnp.diag(jnp.array([0.001, 0.001], dtype))
+
+    rng = np.random.default_rng(23)
+    twists = jnp.asarray(rng.uniform(-0.05, 0.05, (B, 5, 3)), dtype)
+    world_pts = rng.uniform(-1, 1, (5, 2))
+    zs = np.zeros((B, 5, M, 2))
+    for b in range(B):
+        for t in range(5):
+            for k in range(M):
+                p = world_pts[(t + k) % 5] + rng.normal(0, 1e-4, 2)
+                zs[b, t, k] = [np.hypot(*p), np.arctan2(p[1], p[0])]
+    zs = jnp.asarray(zs, dtype)
+    valid = jnp.asarray(rng.uniform(size=(B, 5, M)) < 0.9)
+
+    mesh = mesh_lib.make_mesh(jax.devices()[:map_devices], data=1)
+    results = []
+    for maker in (blocked_ekf.make_sharded_unknown_step,
+                  blocked_ekf.make_sharded_deferred_unknown_step):
+        step = maker(cfg, mesh, B, M)
+        bst = blocked_ekf.init(cfg, B, dtype=dtype)
+        specs = blocked_ekf.state_sharding(mesh)
+        bst = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), bst,
+            specs)
+        for t in range(5):
+            bst = step(bst, twists[:, t], zs[:, t], valid[:, t], Q, R)
+        results.append(jax.tree_util.tree_map(np.asarray, bst))
+
+    a, b = results
+    np.testing.assert_array_equal(a.n_seen, b.n_seen)
+    np.testing.assert_array_equal(a.seen, b.seen)
+    np.testing.assert_allclose(a.mean_r, b.mean_r, atol=1e-10)
+    np.testing.assert_allclose(a.mean_m, b.mean_m, atol=1e-10)
+    np.testing.assert_allclose(a.cov_rr, b.cov_rr, atol=1e-9)
+    np.testing.assert_allclose(a.cov_rm, b.cov_rm, atol=1e-9)
+    for bb in range(B):
+        ns = int(a.n_seen[bb])
+        np.testing.assert_allclose(a.cov_mm[bb][:ns, :, :ns, :],
+                                   b.cov_mm[bb][:ns, :, :ns, :], atol=1e-8)
