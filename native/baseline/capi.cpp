@@ -5,6 +5,7 @@
 // All arrays are caller-allocated doubles; all functions are thread-safe per
 // engine instance (no globals).
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -136,6 +137,93 @@ void sb_simulate_lidar(const double* tx, const double* ty, int n_tubes,
   std::memcpy(ranges_out, r.data(), r.size() * sizeof(double));
 }
 
-int sb_abi_version(void) { return 1; }
+// Standalone EKF handle ------------------------------------------------
+// Exposes the filter primitives directly so hand-derived numeric fixtures
+// (tests/test_reference_fixtures.py) can anchor this engine to the
+// reference's published formulas (slam_library.cpp:71-186,263-282)
+// independently of the JAX engine.
+void* sb_ekf_create(int n, const double* q3 /*9, row-major*/,
+                    const double* r2 /*4*/, double init_cov) {
+  shermbot::EKF* e = new shermbot::EKF();
+  shermbot::Mat Q(3, 3), R(2, 2);
+  for (int i = 0; i < 3; ++i)
+    for (int j = 0; j < 3; ++j) Q(i, j) = q3[i * 3 + j];
+  for (int i = 0; i < 2; ++i)
+    for (int j = 0; j < 2; ++j) R(i, j) = r2[i * 2 + j];
+  e->init(n, Q, R, init_cov);
+  return e;
+}
+
+void sb_ekf_destroy(void* h) { delete static_cast<shermbot::EKF*>(h); }
+
+void sb_ekf_set_mean(void* h, const double* mean) {
+  shermbot::EKF* e = static_cast<shermbot::EKF*>(h);
+  std::memcpy(e->mean.data(), mean, e->dim * sizeof(double));
+}
+
+void sb_ekf_set_cov(void* h, const double* cov) {
+  shermbot::EKF* e = static_cast<shermbot::EKF*>(h);
+  std::memcpy(e->cov.v.data(), cov, (size_t)e->dim * e->dim * sizeof(double));
+}
+
+// marks slots 0..seen-1 as initialized (in-order fill, like the reference)
+void sb_ekf_set_seen(void* h, int seen) {
+  shermbot::EKF* e = static_cast<shermbot::EKF*>(h);
+  e->seen = seen;
+  for (int j = 0; j < e->n; ++j) e->slot_seen[j] = j < seen ? 1 : 0;
+}
+
+void sb_ekf_get_mean(const void* h, double* out) {
+  const shermbot::EKF* e = static_cast<const shermbot::EKF*>(h);
+  std::memcpy(out, e->mean.data(), e->dim * sizeof(double));
+}
+
+void sb_ekf_get_cov(const void* h, double* out) {
+  const shermbot::EKF* e = static_cast<const shermbot::EKF*>(h);
+  std::memcpy(out, e->cov.v.data(), (size_t)e->dim * e->dim * sizeof(double));
+}
+
+void sb_ekf_predict(void* h, double dth, double dx) {
+  static_cast<shermbot::EKF*>(h)->predict(dth, dx);
+}
+
+void sb_ekf_update(void* h, int j, double zr, double zb) {
+  static_cast<shermbot::EKF*>(h)->update(j, zr, zb);
+}
+
+void sb_ekf_init_landmark(void* h, int j, double zr, double zb) {
+  static_cast<shermbot::EKF*>(h)->init_landmark(j, zr, zb);
+}
+
+int sb_ekf_associate(void* h, double zr, double zb) {
+  return static_cast<shermbot::EKF*>(h)->associate(zr, zb);
+}
+
+// zhat2: [range, bearing]; h_out: 2 x dim row-major measurement Jacobian
+void sb_ekf_zhat_h(const void* h, int j, double* zhat2, double* h_out) {
+  const shermbot::EKF* e = static_cast<const shermbot::EKF*>(h);
+  shermbot::Mat H;
+  e->zhat_H(j, &zhat2[0], &zhat2[1], &H);
+  std::memcpy(h_out, H.v.data(), (size_t)2 * e->dim * sizeof(double));
+}
+
+// SE(2) twist integration, general (w, vx, vy) closed form — the same map
+// the reference builds via the center-of-rotation construction
+// (rigid2d.cpp:294-328). out3 = [theta, x, y] of exp([w, vx, vy]).
+void sb_integrate_twist(double w, double vx, double vy, double* out3) {
+  double s1, s2;
+  if (w == 0.0) {
+    s1 = 1.0;
+    s2 = 0.0;
+  } else {
+    s1 = std::sin(w) / w;
+    s2 = (1.0 - std::cos(w)) / w;
+  }
+  out3[0] = w;
+  out3[1] = s1 * vx - s2 * vy;
+  out3[2] = s2 * vx + s1 * vy;
+}
+
+int sb_abi_version(void) { return 2; }
 
 }  // extern "C"

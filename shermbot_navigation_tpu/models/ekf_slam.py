@@ -575,12 +575,20 @@ def known_association_step(config: EKFConfig, state: EKFState, twist, zs,
     """Tick with *known* data association (BASELINE.json config 1 /
     ref ``fake_sensor`` mode where marker ids identify tubes). ``z_ids``
     gives the landmark slot of each measurement; first observation of a slot
-    initializes it."""
+    initializes it.
+
+    Capacity semantics match the reference node: an id at or beyond the
+    landmark capacity stops the tick — no further measurements are processed
+    (ref slam.cpp:301-316 ``break``; the unknown path's ASSOC_OVERFLOW has
+    the same sticky-stop behavior)."""
     state = predict(config, state, twist, Q)
 
     def body(carry, inp):
-        st = carry
+        st, stopped = carry
         z, valid, j = inp
+        overflow = j >= config.num_landmarks
+        valid = valid & ~stopped & ~overflow
+        stopped = stopped | overflow
         seen = st.seen[j]
         is_new = valid & ~seen
         st_init = init_landmark(config, st, z, j)
@@ -596,9 +604,10 @@ def known_association_step(config: EKFConfig, state: EKFState, twist, zs,
         upd = update(config, pre, z, j, R)
         st = jax.tree_util.tree_map(
             lambda a, b: jnp.where(do_update, a, b), upd, pre)
-        return st, None
+        return (st, stopped), None
 
-    state, _ = jax.lax.scan(
-        body, state, (jnp.asarray(zs), jnp.asarray(z_valid),
-                      jnp.asarray(z_ids)), unroll=True)
+    (state, _), _ = jax.lax.scan(
+        body, (state, jnp.bool_(False)),
+        (jnp.asarray(zs), jnp.asarray(z_valid), jnp.asarray(z_ids)),
+        unroll=True)
     return state

@@ -77,8 +77,29 @@ def ensure_built():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.POINTER(ctypes.c_double)]
+        dp = ctypes.POINTER(ctypes.c_double)
+        lib.sb_ekf_create.restype = ctypes.c_void_p
+        lib.sb_ekf_create.argtypes = [ctypes.c_int, dp, dp, ctypes.c_double]
+        lib.sb_ekf_destroy.argtypes = [ctypes.c_void_p]
+        lib.sb_ekf_set_mean.argtypes = [ctypes.c_void_p, dp]
+        lib.sb_ekf_set_cov.argtypes = [ctypes.c_void_p, dp]
+        lib.sb_ekf_set_seen.argtypes = [ctypes.c_void_p, ctypes.c_int]
+        lib.sb_ekf_get_mean.argtypes = [ctypes.c_void_p, dp]
+        lib.sb_ekf_get_cov.argtypes = [ctypes.c_void_p, dp]
+        lib.sb_ekf_predict.argtypes = [
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_double]
+        lib.sb_ekf_update.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_double, ctypes.c_double]
+        lib.sb_ekf_init_landmark.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_double, ctypes.c_double]
+        lib.sb_ekf_associate.restype = ctypes.c_int
+        lib.sb_ekf_associate.argtypes = [
+            ctypes.c_void_p, ctypes.c_double, ctypes.c_double]
+        lib.sb_ekf_zhat_h.argtypes = [ctypes.c_void_p, ctypes.c_int, dp, dp]
+        lib.sb_integrate_twist.argtypes = [
+            ctypes.c_double, ctypes.c_double, ctypes.c_double, dp]
         lib.sb_abi_version.restype = ctypes.c_int
-        if lib.sb_abi_version() != 1:
+        if lib.sb_abi_version() != 2:
             raise RuntimeError("libshermbot_host ABI mismatch")
         _lib = lib
         return _lib
@@ -191,6 +212,88 @@ class HostEngine:
             if record:
                 self._lib.sb_engine_poses(self._h, _dptr(traj[t]))
         return traj
+
+
+class NativeEKF:
+    """Standalone handle on the C++ engine's EKF primitives.
+
+    Used by the hand-derived reference-fixture tests to anchor the native
+    oracle to the reference's formulas (slam_library.cpp) directly, without
+    running a whole pipeline.
+    """
+
+    def __init__(self, n, Q, R, init_cov=2147483647.0):
+        lib = ensure_built()
+        Q = np.ascontiguousarray(Q, dtype=np.float64).reshape(3, 3)
+        R = np.ascontiguousarray(R, dtype=np.float64).reshape(2, 2)
+        self._lib = lib
+        self._h = ctypes.c_void_p(
+            lib.sb_ekf_create(int(n), _dptr(Q), _dptr(R), float(init_cov)))
+        self.dim = 3 + 2 * int(n)
+
+    def close(self):
+        if self._h:
+            self._lib.sb_ekf_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    @property
+    def mean(self):
+        out = np.empty(self.dim)
+        self._lib.sb_ekf_get_mean(self._h, _dptr(out))
+        return out
+
+    @mean.setter
+    def mean(self, v):
+        v = np.ascontiguousarray(v, dtype=np.float64)
+        assert v.shape == (self.dim,)
+        self._lib.sb_ekf_set_mean(self._h, _dptr(v))
+
+    @property
+    def cov(self):
+        out = np.empty(self.dim * self.dim)
+        self._lib.sb_ekf_get_cov(self._h, _dptr(out))
+        return out.reshape(self.dim, self.dim)
+
+    @cov.setter
+    def cov(self, v):
+        v = np.ascontiguousarray(v, dtype=np.float64)
+        assert v.shape == (self.dim, self.dim)
+        self._lib.sb_ekf_set_cov(self._h, _dptr(v))
+
+    def set_seen(self, n_seen):
+        self._lib.sb_ekf_set_seen(self._h, int(n_seen))
+
+    def predict(self, dth, dx):
+        self._lib.sb_ekf_predict(self._h, float(dth), float(dx))
+
+    def update(self, j, zr, zb):
+        self._lib.sb_ekf_update(self._h, int(j), float(zr), float(zb))
+
+    def init_landmark(self, j, zr, zb):
+        self._lib.sb_ekf_init_landmark(self._h, int(j), float(zr), float(zb))
+
+    def associate(self, zr, zb):
+        return self._lib.sb_ekf_associate(self._h, float(zr), float(zb))
+
+    def zhat_H(self, j):
+        z = np.empty(2)
+        H = np.empty(2 * self.dim)
+        self._lib.sb_ekf_zhat_h(self._h, int(j), _dptr(z), _dptr(H))
+        return z, H.reshape(2, self.dim)
+
+
+def integrate_twist(w, vx, vy):
+    """Native SE(2) twist integration: exp([w, vx, vy]) -> (theta, x, y)."""
+    lib = ensure_built()
+    out = np.empty(3)
+    lib.sb_integrate_twist(float(w), float(vx), float(vy), _dptr(out))
+    return out
 
 
 def detect_landmarks(scan, max_out=64):

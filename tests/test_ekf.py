@@ -7,6 +7,8 @@ dense O(D^3) oracle that mirrors the reference math line-for-line;
 consistency (landmark converges, covariance contracts) on a simulated loop.
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -159,14 +161,21 @@ class TestAssociate:
         assert int(res.index) == 1
 
     def test_gray_area_skips(self):
+        """Deterministic gray-zone fixture: the Mahalanobis distance is
+        exactly quadratic in a range-only perturbation (psi depends only on
+        the state), so probing with a unit perturbation and rescaling lands
+        the distance at exactly 1.0 — provably inside (0.01, 60)."""
         st = mkstate(n_seen=3)
-        # perturb so the distance lands between the gates for landmark 0
-        z = ekf.predicted_measurement(st, jnp.int32(0)) + jnp.array(
-            [0.05, 0.0], jnp.float64)
+        z0 = ekf.predicted_measurement(st, jnp.int32(0))
+        probe = z0 + jnp.array([1.0, 0.0], jnp.float64)
+        d_unit = float(ekf.associate(CFG64, st, probe, R2).distances[0])
+        alpha = np.sqrt(1.0 / d_unit)
+        z = z0 + jnp.array([alpha, 0.0], jnp.float64)
         res = ekf.associate(CFG64, st, z, R2)
         d0 = float(res.distances[0])
-        if 0.01 < d0 < 60.0:
-            assert int(res.outcome) == ekf.ASSOC_SKIP
+        assert 0.01 < d0 < 60.0, f"fixture missed the gray zone: d0={d0}"
+        np.testing.assert_allclose(d0, 1.0, rtol=1e-9)
+        assert int(res.outcome) == ekf.ASSOC_SKIP
 
     def test_far_measurement_new(self):
         st = mkstate(n_seen=3)
@@ -176,21 +185,36 @@ class TestAssociate:
         assert int(res.index) == 3
 
     def test_first_hit_order(self):
-        """If landmark 0 is in the gray zone, the outcome is SKIP even when a
-        later landmark would match — reference first-hit semantics."""
-        cfg = CFG64
+        """Landmark 0 provably in the gray zone while landmark 1 matches
+        exactly: first-hit semantics must SKIP (lm0 is scanned first), even
+        though nearest-neighbor gating would match lm1."""
         st = mkstate(n_seen=3)
-        # craft: landmarks 0 and 1 at nearly the same place
-        mean = np.asarray(st.mean).copy()
-        mean[5:7] = mean[3:5] + np.array([0.05, 0.0])
-        st = st._replace(mean=jnp.asarray(mean))
-        z = ekf.predicted_measurement(st, jnp.int32(1))  # exact for lm 1
-        res = ekf.associate(cfg, st, z, R2)
+
+        def fixture(delta):
+            # lm1 at lm0 + delta*[1,0]; z exact for lm1 -> d1 == 0
+            mean = np.asarray(st.mean).copy()
+            mean[5:7] = mean[3:5] + np.array([delta, 0.0])
+            st2 = st._replace(mean=jnp.asarray(mean))
+            z = ekf.predicted_measurement(st2, jnp.int32(1))
+            return st2, z, float(ekf.associate(CFG64, st2, z, R2).distances[0])
+
+        # d0 ~ delta^2 for small offsets; a few rescales land d0 at ~1.0.
+        delta = 0.05
+        for _ in range(3):
+            _, _, d0 = fixture(delta)
+            delta *= np.sqrt(1.0 / d0)
+        st2, z, d0 = fixture(delta)
+        res = ekf.associate(CFG64, st2, z, R2)
         d = np.asarray(res.distances)
-        if 0.01 < d[0] < 60.0:
-            assert int(res.outcome) == ekf.ASSOC_SKIP  # lm0 hit first
-        else:
-            assert int(res.outcome) in (ekf.ASSOC_MATCH, ekf.ASSOC_SKIP)
+        assert 0.01 < d[0] < 60.0, f"fixture missed the gray zone: {d[0]}"
+        assert d[1] < 0.01                         # lm1 would match...
+        assert int(res.outcome) == ekf.ASSOC_SKIP  # ...but lm0 hits first
+
+        # contrast: nearest-neighbor quality mode matches lm1
+        cfg_nn = dataclasses.replace(CFG64, assoc_mode="nearest")
+        res_nn = ekf.associate(cfg_nn, st2, z, R2)
+        assert int(res_nn.outcome) == ekf.ASSOC_MATCH
+        assert int(res_nn.index) == 1
 
     def test_overflow(self):
         cfg = ekf.EKFConfig(num_landmarks=3, analytic_init=False,
@@ -214,6 +238,27 @@ class TestStep:
         assert np.isfinite(np.asarray(st2.mean)).all()
         k = 3 + 2 * 2
         assert np.isfinite(np.asarray(st2.cov[:k, :k])).all()
+
+    def test_known_assoc_capacity_guard(self):
+        """An id at/beyond capacity stops the tick — later measurements in
+        the same tick are dropped, like the reference's break
+        (slam.cpp:301-316; engine.cpp:590). Over-provision: capacity 2,
+        three measurement slots with ids [0, 2, 1]."""
+        cfg = ekf.EKFConfig(num_landmarks=2)
+        st = ekf.init(cfg, jnp.zeros(3, jnp.float64), dtype=jnp.float64)
+        zs = jnp.array([[0.7, 0.5], [0.9, -1.0], [0.8, 0.2]], jnp.float64)
+        valid = jnp.array([True, True, True])
+        ids = jnp.array([0, 2, 1], jnp.int32)
+        tw = jnp.array([0.0, 0.0, 0.0], jnp.float64)
+        st2 = ekf.known_association_step(cfg, st, tw, zs, valid, ids, Q3, R2)
+        # id 0 processed; id 2 overflows and stops the tick; id 1 dropped
+        assert int(st2.n_seen) == 1
+        assert bool(st2.seen[0]) and not bool(st2.seen[1])
+        # without the overflow id in between, all in-capacity ids process
+        ids_ok = jnp.array([0, 1, 2], jnp.int32)
+        st3 = ekf.known_association_step(cfg, st, tw, zs, valid, ids_ok, Q3,
+                                         R2)
+        assert int(st3.n_seen) == 2
 
     def test_landmark_convergence_known_assoc(self):
         """Drive a circle past two landmarks with noiseless measurements:
