@@ -312,6 +312,33 @@ def update(config: EKFConfig, state: EKFState, z, j, R) -> EKFState:
                     seen=state.seen)
 
 
+def innovation(config: EKFConfig, state: EKFState, z, j, R):
+    """Pre-update innovation and its covariance ``(dz, psi)`` against
+    landmark slot ``j`` — the NIS ingredients for filter-consistency tests
+    (SURVEY.md section 4; ``pipeline.metrics.nis``). Same math as the head
+    of :func:`update`, recomputed standalone so the hot path stays fused."""
+    mean, cov = state.mean, state.cov
+    dt = mean.dtype
+    z = jnp.asarray(z, dt)
+    R = jnp.asarray(R, dt)
+    dx, dy, d, sq = _landmark_delta(mean, j)
+    H5 = _h5(dx, dy, d, sq)
+    cols_r = cov[:, :3]
+    cols_m = jax.lax.dynamic_slice_in_dim(cov, 3 + 2 * j, 2, axis=1)
+    cols = jnp.concatenate([cols_r, cols_m], axis=1)
+    SHt = jnp.matmul(cols, H5.T, precision=PRECISION)
+    rows_r = SHt[:3, :]
+    rows_m = jax.lax.dynamic_slice_in_dim(SHt, 3 + 2 * j, 2, axis=0)
+    psi = jnp.matmul(H5, jnp.concatenate([rows_r, rows_m], axis=0),
+                     precision=PRECISION) + R
+    z_hat = jnp.stack(
+        [sq, se2.normalize_angle(jnp.arctan2(dy, dx) - mean[0])])
+    dz = z - z_hat
+    if config.wrap_innovation:
+        dz = dz.at[1].set(se2.normalize_angle(dz[1]))
+    return dz, psi
+
+
 def update_dense(config: EKFConfig, state: EKFState, z, j, R) -> EKFState:
     """Literal dense update (test oracle), mirroring ref slam_library.cpp:263-282
     with explicitly assembled 2xD ``H``."""

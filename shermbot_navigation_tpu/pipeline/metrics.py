@@ -47,6 +47,21 @@ def rpe(est_poses, true_poses, delta: int = 10):
     return jnp.sqrt(jnp.mean(jnp.sum(d * d, axis=-1)))
 
 
+def nis(dz, psi):
+    """Per-measurement normalized innovation squared ``dz^T psi^{-1} dz``
+    (2 dof). ``dz``: (..., 2) innovations; ``psi``: (..., 2, 2) innovation
+    covariances (``models.ekf_slam.innovation``). A consistent filter has
+    mean NIS ~= 2 over a rollout (chi-square with 2 dof per sample)."""
+    dz = jnp.asarray(dz)
+    psi = jnp.asarray(psi)
+    a, b = psi[..., 0, 0], psi[..., 0, 1]
+    c, d = psi[..., 1, 0], psi[..., 1, 1]
+    det = a * d - b * c
+    det = jnp.where(jnp.abs(det) < 1e-30, jnp.full_like(det, 1e-30), det)
+    e0, e1 = dz[..., 0], dz[..., 1]
+    return (d * e0 * e0 - (b + c) * e0 * e1 + a * e1 * e1) / det
+
+
 def nees(est_pose, true_pose, cov3):
     """Per-step NEES of the robot block: ``e^T P^{-1} e`` with the heading
     error wrapped. ``est_pose``/``true_pose``: (..., 3) ``[th, x, y]``;
