@@ -30,7 +30,8 @@ void* sb_engine_create(const char* scenario, int deterministic,
 // Custom world: tube centers + pipeline knobs (mirrors pipeline/config.py).
 void* sb_engine_create_custom(const double* tx, const double* ty,
                               int n_tubes, int capacity, int known_assoc,
-                              int use_lidar, double max_range,
+                              int use_lidar, int lidar_quirks,
+                              double max_range,
                               double tube_var, double twist_noise,
                               double slip_min, double slip_max,
                               double cmd_w, double cmd_v, int steps,
@@ -42,6 +43,7 @@ void* sb_engine_create_custom(const double* tx, const double* ty,
   sc.num_landmarks = capacity;
   sc.known_assoc = known_assoc != 0;
   sc.use_lidar = use_lidar != 0;
+  sc.lidar_quirks = lidar_quirks != 0;
   sc.steps = steps;
   sc.cmd_w = cmd_w;
   sc.cmd_v = cmd_v;
@@ -122,9 +124,10 @@ int sb_detect_landmarks(const double* scan, int n_rays, double* mx_out,
 }
 
 // Standalone simulated lidar for an arbitrary pose/world (for tests).
+// quirks != 0 selects the reference-faithful buggy scanner.
 void sb_simulate_lidar(const double* tx, const double* ty, int n_tubes,
                        double tube_rad, double th, double x, double y,
-                       double* ranges_out /*360*/) {
+                       int quirks, double* ranges_out /*360*/) {
   shermbot::World w;
   w.tx.assign(tx, tx + n_tubes);
   w.ty.assign(ty, ty + n_tubes);
@@ -132,6 +135,7 @@ void sb_simulate_lidar(const double* tx, const double* ty, int n_tubes,
   w.truth.th = th;
   w.truth.x = x;
   w.truth.y = y;
+  w.lidar_quirks = quirks != 0;
   std::vector<double> r;
   w.lidar(&r);
   std::memcpy(ranges_out, r.data(), r.size() * sizeof(double));
@@ -224,6 +228,6 @@ void sb_integrate_twist(double w, double vx, double vy, double* out3) {
   out3[2] = s2 * vx + s1 * vy;
 }
 
-int sb_abi_version(void) { return 2; }
+int sb_abi_version(void) { return 3; }
 
 }  // extern "C"

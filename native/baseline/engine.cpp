@@ -246,8 +246,59 @@ void World::substep(double cmd_w, double cmd_v, double dt) {
   drive_step(geom, &truth, cwl + ul * el, cwr + ur * er);
 }
 
+// Reference-quirks lidar (tube_world.cpp:405-471 behavior): per tube, a
+// 54-wide integer-degree cone about the buggy center angle
+// atan2(2*yt - yr, 2*xt - xr) (:428, rounded half-away-from-zero);
+// intersection with the infinite LINE, not the forward ray — the two
+// intersection points' absolute distances compete (:444-453), so rays
+// pointing away from a tube still hit; a near-tangent band
+// |r^2 dr^2 - det^2| < 1e-5 takes the perpendicular-foot distance (:439-442);
+// exactly-horizontal rays (integer degree 0) divide by fabs(dy) == 0 and
+// NaN out of the two-point branch (:445-449); the scan index is the world
+// degree minus the heading truncated toward zero (:459-460).
+// Implemented in the ray-parameter (t) form, which is algebraically the
+// same map as the reference's determinant formulas.
+void World::lidar_quirks_scan(std::vector<double>* ranges) const {
+  const int n = 360;
+  const double rmax = 1.0;  // scan_params.yaml maximum_range
+  const double r2 = tube_rad * tube_rad;
+  ranges->assign(n, rmax + 1.0);
+  int th_deg = (int)(truth.th * 180.0 / kPi);  // trunc toward zero
+  for (size_t ti = 0; ti < tx.size(); ++ti) {
+    double px = truth.x - tx[ti], py = truth.y - ty[ti];
+    // buggy cone center: tube coords minus ROBOT-RELATIVE-TO-TUBE coords
+    double ca_deg =
+        std::atan2(ty[ti] - py, tx[ti] - px) * 180.0 / kPi;
+    int ta = (int)std::round(ca_deg);  // round(): half away from zero
+    for (int i = ta - 27; i < ta + 27; ++i) {
+      double ang = i * kPi / 180.0;
+      double ux = std::cos(ang), uy = std::sin(ang);
+      double b = px * ux + py * uy;
+      double disc = b * b - (px * px + py * py - r2);
+      // reference units: dis = r^2 dr^2 - det^2 with dr = rmax = 1
+      double dist;
+      if (std::fabs(disc) < 1e-5) {
+        dist = std::fabs(b);  // tangent band: perpendicular foot
+      } else if (disc > 0) {
+        if (uy == 0.0) continue;  // dy/fabs(dy) -> NaN, never recorded
+        double sq = std::sqrt(disc);
+        dist = std::min(std::fabs(-b - sq), std::fabs(-b + sq));
+      } else {
+        continue;
+      }
+      int ind = (i - th_deg) % 360;
+      if (ind < 0) ind += 360;
+      if (dist < (*ranges)[ind]) (*ranges)[ind] = dist;
+    }
+  }
+}
+
 // 360-ray lidar scan (correct geometry, matching the engine's default)
 void World::lidar(std::vector<double>* ranges) const {
+  if (lidar_quirks) {
+    lidar_quirks_scan(ranges);
+    return;
+  }
   const int n = 360;
   const double rmax = 1.0;  // scan_params.yaml maximum_range
   ranges->assign(n, rmax + 1.0);
@@ -545,6 +596,7 @@ void Engine::init(const Scenario& s, bool deterministic, uint64_t seed) {
   world.twist_noise = sc.twist_noise;
   world.slip_min = sc.slip_min;
   world.slip_max = sc.slip_max;
+  world.lidar_quirks = sc.lidar_quirks;
   world.deterministic = deterministic;
   world.rng.seed(seed);
   odom = Drive();

@@ -96,6 +96,7 @@ struct World {
   double tube_rad = 0.0381, robot_rad = 0.08;
   double max_range = 1.0, tube_var = 0.001;
   double twist_noise = 0.0, slip_min = 0.9, slip_max = 1.0;
+  bool lidar_quirks = false;  // reproduce the reference lidar's bugs
   Geom geom;
 
   Drive truth;              // true robot (slip-perturbed wheels)
@@ -107,6 +108,7 @@ struct World {
   double gauss(double mean, double std);
   void substep(double cmd_w, double cmd_v, double dt);
   void lidar(std::vector<double>* ranges) const;
+  void lidar_quirks_scan(std::vector<double>* ranges) const;
   void fake_sensor(std::vector<double>* mx, std::vector<double>* my,
                    std::vector<char>* valid) const;
 };
@@ -135,6 +137,7 @@ struct Scenario {
   int num_landmarks = 0;
   bool known_assoc = false;
   bool use_lidar = false;
+  bool lidar_quirks = false;
   int steps = 0;
   double cmd_w = 0, cmd_v = 0;
   double max_range = 1, tube_var = 0, twist_noise = 0, slip_min = 1,

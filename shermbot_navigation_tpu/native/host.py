@@ -47,6 +47,7 @@ def ensure_built():
         lib.sb_engine_create_custom.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int,
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_double, ctypes.c_int, ctypes.c_int, ctypes.c_uint64]
@@ -76,7 +77,7 @@ def ensure_built():
         lib.sb_simulate_lidar.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.c_int, ctypes.c_double, ctypes.c_double, ctypes.c_double,
-            ctypes.c_double, ctypes.POINTER(ctypes.c_double)]
+            ctypes.c_double, ctypes.c_int, ctypes.POINTER(ctypes.c_double)]
         dp = ctypes.POINTER(ctypes.c_double)
         lib.sb_ekf_create.restype = ctypes.c_void_p
         lib.sb_ekf_create.argtypes = [ctypes.c_int, dp, dp, ctypes.c_double]
@@ -99,7 +100,7 @@ def ensure_built():
         lib.sb_integrate_twist.argtypes = [
             ctypes.c_double, ctypes.c_double, ctypes.c_double, dp]
         lib.sb_abi_version.restype = ctypes.c_int
-        if lib.sb_abi_version() != 2:
+        if lib.sb_abi_version() != 3:
             raise RuntimeError("libshermbot_host ABI mismatch")
         _lib = lib
         return _lib
@@ -118,7 +119,8 @@ class HostEngine:
 
     def __init__(self, scenario=None, *, deterministic=True, seed=12345,
                  tubes=None, capacity=None, known_assoc=False,
-                 use_lidar=False, max_range=1.0, tube_var=0.001,
+                 use_lidar=False, lidar_quirks=False, max_range=1.0,
+                 tube_var=0.001,
                  twist_noise=0.0, slip_min=0.9, slip_max=1.0,
                  cmd=(0.1, 0.05), steps=500):
         lib = ensure_built()
@@ -137,7 +139,8 @@ class HostEngine:
             ty = np.ascontiguousarray(tubes[:, 1])
             h = lib.sb_engine_create_custom(
                 _dptr(tx), _dptr(ty), len(tubes), int(capacity),
-                int(known_assoc), int(use_lidar), float(max_range),
+                int(known_assoc), int(use_lidar), int(lidar_quirks),
+                float(max_range),
                 float(tube_var), float(twist_noise), float(slip_min),
                 float(slip_max), float(cmd[0]), float(cmd[1]), int(steps),
                 int(deterministic), seed)
@@ -307,8 +310,9 @@ def detect_landmarks(scan, max_out=64):
     return np.stack([mx[:n], my[:n]], axis=-1)
 
 
-def simulate_lidar(tubes, pose, tube_rad=0.0381):
-    """Native 360-ray lidar at ``pose=(th, x, y)`` in a tube world."""
+def simulate_lidar(tubes, pose, tube_rad=0.0381, quirks=False):
+    """Native 360-ray lidar at ``pose=(th, x, y)`` in a tube world.
+    ``quirks=True`` selects the reference-faithful buggy scanner."""
     lib = ensure_built()
     tubes = np.ascontiguousarray(tubes, dtype=np.float64)
     tx = np.ascontiguousarray(tubes[:, 0])
@@ -316,5 +320,5 @@ def simulate_lidar(tubes, pose, tube_rad=0.0381):
     out = np.empty(360)
     lib.sb_simulate_lidar(_dptr(tx), _dptr(ty), len(tubes),
                           float(tube_rad), float(pose[0]), float(pose[1]),
-                          float(pose[2]), _dptr(out))
+                          float(pose[2]), int(quirks), _dptr(out))
     return out

@@ -50,6 +50,7 @@ class ScenarioConfig:
     tubes: Tuple[Tuple[float, float], ...] = STOCK_TUBES
     num_landmarks: int = 6              # EKF capacity (ref slam.cpp:71)
     use_lidar: bool = False             # True: scan->cluster->fit->EKF (config 3)
+    lidar_quirks: bool = False          # reproduce the reference lidar bugs
     known_association: bool = False     # True: /fake_sensor marker ids (config 1)
     steps: int = 500                    # SLAM ticks to simulate
     sim_substeps: int = SIM_HZ // SLAM_HZ
@@ -81,6 +82,7 @@ class ScenarioConfig:
         # (unused lax.scan outputs are not DCE'd by XLA)
         return WorldConfig(compute_scan=self.use_lidar,
                            compute_fake_sensor=not self.use_lidar,
+                           reference_lidar_quirks=self.lidar_quirks,
                            slip_mode=self.slip_mode)
 
     def ekf_config(self) -> EKFConfig:

@@ -199,10 +199,18 @@ def _lidar(config: WorldConfig, params: WorldParams, pose, key):
     safe_sqrt = jnp.sqrt(jnp.maximum(disc, 0.0))
     t1 = -b - safe_sqrt
     t2 = -b + safe_sqrt
-    t = jnp.where(t1 > 0.0, t1, t2)                     # nearest forward hit
-    miss = (disc < 0.0) | (t <= 0.0)
 
     if config.reference_lidar_quirks:
+        # The reference intersects the infinite LINE, not the forward ray
+        # (:444-453): both intersection points' absolute distances from the
+        # robot compete, so rays pointing AWAY from a tube still register
+        # hits. Near-tangent band |r^2 dr^2 - det^2| < 1e-5 (dr = scan_max)
+        # takes the perpendicular-foot distance |b| instead (:439-442).
+        eps = 1e-5 / (params.scan_max * params.scan_max)
+        tangent = jnp.abs(disc) < eps
+        t = jnp.minimum(jnp.abs(t1), jnp.abs(t2))
+        t = jnp.where(tangent, jnp.abs(b), t)
+        miss = disc <= -eps
         # cone gate with the reference's (buggy) center formula (:428):
         # tube_angle = round(deg(atan2(2*yt - yr, 2*xt - xr))), window [-27, 26]
         t_ang = jnp.arctan2(2.0 * params.tube_locs[:, 1] - y,
@@ -213,9 +221,14 @@ def _lidar(config: WorldConfig, params: WorldParams, pose, key):
         ray_deg_grid = (bins + jnp.trunc(se2.rad2deg(th)))[:, None]
         ddeg = jnp.mod(ray_deg_grid - t_deg[None, :] + 180.0, 360.0) - 180.0
         in_cone = (ddeg >= -27.0) & (ddeg <= 26.0)
-        # dy == 0 NaN quirk (:444-449): world-frame dy of the ray endpoint
-        dy_ray = jnp.sin(ang)
-        miss = miss | ~in_cone | (dy_ray == 0.0)[:, None]
+        # dy == 0 NaN quirk (:444-449): sin(deg2rad(i)) is exactly zero only
+        # at integer degree i == 0, i.e. ray_deg = 0 mod 360; such rays NaN
+        # out in the two-point branch but still hit in the tangent branch.
+        nan_ray = (jnp.mod(ray_deg_grid, 360.0) == 0.0)
+        miss = miss | ~in_cone | (nan_ray & ~tangent)
+    else:
+        t = jnp.where(t1 > 0.0, t1, t2)                 # nearest forward hit
+        miss = (disc < 0.0) | (t <= 0.0)
 
     t = jnp.where(miss, params.scan_max + 1.0, t)
     ranges = jnp.min(t, axis=1)                          # z-buffer over tubes

@@ -1,0 +1,150 @@
+"""Reference-quirks lidar: oracle parity + hand-derived per-quirk fixtures.
+
+``WorldConfig(reference_lidar_quirks=True)`` reproduces the reference
+scanner's bugs (tube_world.cpp:405-471); the C++ engine implements the same
+behavior independently (``World::lidar_quirks_scan``). The quirks under test:
+
+1. **cone-center bug** (:428): the per-tube ray cone centers on
+   ``atan2(2*yt - yr, 2*xt - xr)`` — only correct when the robot is at the
+   origin; elsewhere the cone points the wrong way and hides/reveals tubes.
+2. **infinite-line intersection** (:444-453): both intersection points'
+   *absolute* distances compete, so rays pointing away from a tube still
+   record hits at positive range.
+3. **dy == 0 NaN** (:445-449): the integer-degree-0 ray divides by
+   ``fabs(dy) == 0`` and never hits (except in the near-tangent band, which
+   takes a different branch).
+4. **degree quantization** (:459-460): rays are integer world-frame degrees;
+   the scan index subtracts the heading truncated toward zero.
+
+Each fixture below would fail if its quirk regressed on either engine.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shermbot_navigation_tpu.native import host
+from shermbot_navigation_tpu.sim import tube_world as tw
+
+TUBE_RAD = 0.0381
+SENTINEL = 2.0  # scan_max (1.0) + 1
+
+
+def jax_scan(tubes, pose, quirks=True):
+    cfg = tw.WorldConfig(reference_lidar_quirks=quirks,
+                         compute_fake_sensor=False)
+    params = tw.default_params(tube_locs=np.asarray(tubes, float),
+                               dtype=jnp.float64)
+    return np.asarray(tw._lidar(cfg, params, jnp.asarray(pose, jnp.float64),
+                                jax.random.PRNGKey(0)))
+
+
+class TestScanParityVsNative:
+    def test_random_poses(self):
+        """JAX quirks scan == C++ quirks scan to float tolerance over a
+        spread of poses (incl. heading-quantization and i==0 cases)."""
+        tubes = np.array([[0.5, 0.5], [-0.5, -0.5], [1.0, 1.0],
+                          [-1.0, -1.0], [-0.75, 0.75], [0.75, -0.75]])
+        rng = np.random.default_rng(7)
+        poses = [np.zeros(3), np.array([0.3, 0.2, -0.1]),
+                 np.array([-2.5, 0.6, 0.55]), np.array([1.57, -0.4, 0.4])]
+        poses += list(rng.uniform([-3.1, -1.2, -1.2], [3.1, 1.2, 1.2],
+                                  size=(16, 3)))
+        for p in poses:
+            sj = jax_scan(tubes, p)
+            sc = host.simulate_lidar(tubes, p, quirks=True)
+            np.testing.assert_allclose(sj, sc, atol=1e-9,
+                                       err_msg=f"pose {p}")
+
+    def test_quirks_differ_from_correct(self):
+        """Sanity: the quirks scanner is NOT the correct one."""
+        tubes = np.array([[0.5, 0.5], [-0.5, -0.5]])
+        pose = np.array([-2.5, 0.6, 0.55])
+        assert (np.abs(jax_scan(tubes, pose, True)
+                       - jax_scan(tubes, pose, False)) > 1e-6).sum() > 10
+
+
+class TestHandFixtures:
+    """Exact values derived from the reference formulas by hand."""
+
+    def test_nan_ray_and_adjacent_hit(self):
+        """Tube dead ahead at (1,0), robot at origin: the directly-facing
+        integer-degree-0 ray NaNs out (quirk 3) while the 1-degree rays hit
+        at cos(1deg) - sqrt(r^2 - sin^2(1deg)) (hand-derived from the
+        line-circle quadratic). The correct scanner hits ray 0 at 1 - r."""
+        tubes = [[1.0, 0.0]]
+        pose = np.zeros(3)
+        s = jax_scan(tubes, pose)
+        c = host.simulate_lidar(np.asarray(tubes), pose, quirks=True)
+        s1 = np.sin(np.deg2rad(1.0))
+        expect = np.cos(np.deg2rad(1.0)) - np.sqrt(TUBE_RAD**2 - s1 * s1)
+        for scan in (s, c):
+            assert scan[0] == SENTINEL          # quirk 3: NaN ray never hits
+            np.testing.assert_allclose(scan[1], expect, atol=1e-12)
+            np.testing.assert_allclose(scan[359], expect, atol=1e-12)
+        correct = jax_scan(tubes, pose, quirks=False)
+        np.testing.assert_allclose(correct[0], 1.0 - TUBE_RAD, atol=1e-9)
+
+    def test_backward_hit_through_buggy_cone(self):
+        """Robot at (2,0), tube at (1,0) — the tube is BEHIND the robot
+        (bearing 180deg), but the buggy cone center atan2(2yt-yr, 2xt-xr) =
+        atan2(0, 0) = 0 points the cone forward, and the infinite-line
+        intersection (quirk 2) records the behind-the-robot tube at positive
+        range on forward ray 1. The correct scanner sees it on ray 180."""
+        tubes = [[1.0, 0.0]]
+        pose = np.array([0.0, 2.0, 0.0])
+        s1 = np.sin(np.deg2rad(1.0))
+        expect = np.cos(np.deg2rad(1.0)) - np.sqrt(TUBE_RAD**2 - s1 * s1)
+        for scan in (jax_scan(tubes, pose),
+                     host.simulate_lidar(np.asarray(tubes), pose,
+                                         quirks=True)):
+            np.testing.assert_allclose(scan[1], expect, atol=1e-12)
+            assert scan[180] == SENTINEL        # the true direction misses
+        correct = jax_scan(tubes, pose, quirks=False)
+        assert correct[1] == SENTINEL
+        np.testing.assert_allclose(correct[180], 1.0 - TUBE_RAD, atol=1e-9)
+
+    def test_heading_truncation_index(self):
+        """th = 0.5 rad = 28.6479deg truncates to 28 (quirk 4): the tube at
+        world degree 0 lands at scan indices (i - 28) mod 360 for the
+        integer world degrees i in {-2,-1,1,2} that geometrically hit
+        (sin(3deg) > r/1 already misses); i=0 NaNs out (quirk 3)."""
+        tubes = [[1.0, 0.0]]
+        pose = np.array([0.5, 0.0, 0.0])
+        for scan in (jax_scan(tubes, pose),
+                     host.simulate_lidar(np.asarray(tubes), pose,
+                                         quirks=True)):
+            hits = set(np.nonzero(scan < SENTINEL)[0].tolist())
+            assert hits == {(i - 28) % 360 for i in (-2, -1, 1, 2)}, hits
+
+
+def test_quirks_pipeline_parity():
+    """End-to-end: the full quirks-lidar pipeline (scan -> cluster -> fit ->
+    EKF) in both engines, deterministic. Scans and detections agree to
+    ~1e-14 per tick (TestScanParityVsNative pins that precisely); the
+    trajectory tolerance is looser because the quirky detections sit near
+    the 0.01 first-hit gate and the filter chaotically amplifies last-ulp
+    differences (~6 mm rms over 400 ticks, measured). A regressed quirk on
+    either side measures 0.30 m rms and a landmark-count mismatch."""
+    from shermbot_navigation_tpu.pipeline.config import get_scenario
+    from shermbot_navigation_tpu.pipeline.driver import run_scenario
+
+    scn = dataclasses.replace(
+        get_scenario("lidar20_full"), lidar_quirks=True, steps=400,
+        twist_noise=0.0, slip_min=0.975, slip_max=0.975, scan_noise=0.0)
+    outs = run_scenario(scn, jax.random.PRNGKey(0), jnp.float64)
+
+    eng = host.HostEngine(
+        tubes=np.asarray(scn.tubes), capacity=scn.num_landmarks,
+        use_lidar=True, lidar_quirks=True, max_range=1.0, tube_var=0.001,
+        slip_min=0.975, slip_max=0.975)
+    traj = eng.run(scn.steps, scn.command[1], scn.command[2], record=True)
+
+    np.testing.assert_allclose(np.asarray(outs.true_pose[:, 1:]),
+                               traj[:, 1:3], atol=1e-7)
+    err = np.sqrt(np.mean(np.sum(
+        (np.asarray(outs.slam_pose[:, 1:]) - traj[:, 7:9]) ** 2, axis=-1)))
+    assert err < 0.02, f"quirks-pipeline trajectory rms = {err} m"
+    assert int(outs.n_seen[-1]) == eng.n_seen == 12
