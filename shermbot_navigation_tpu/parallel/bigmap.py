@@ -62,18 +62,36 @@ def _true_pose(cmd, t, dtype):
     return jnp.stack([th, x, y]).astype(dtype)
 
 
+def _resolve_grid_kernel(grid_kernel, cfg: EKFConfig, mesh: Mesh,
+                         dtype) -> bool:
+    """``None`` -> auto: use the fused Pallas grid pass exactly when it is
+    supported (TPU backend, f32, lane-aligned local grid)."""
+    if grid_kernel is not None:
+        return bool(grid_kernel)
+    from ..ops.pallas.grid_update import grid_shapes_supported
+    N = cfg.num_landmarks
+    n_local = N // mesh.shape["map"]
+    return (jax.default_backend() == "tpu" and dtype == jnp.float32
+            and grid_shapes_supported(2 * n_local, 2 * N))
+
+
 def make_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int,
-                deferred: bool = True):
+                deferred: bool = True, grid_kernel: bool | None = None,
+                dtype=jnp.float32):
     """Build ``run(state, workload, Q, R, t0, ticks) -> state`` jitted over
     the mesh: generates measurements on device and applies the sharded
     blocked step ``ticks`` times via lax.scan.
 
     ``deferred=True`` (default) uses the rank-2M grid update — one full
     landmark-grid pass per tick instead of per measurement, identical
-    semantics (test_blocked_ekf::test_deferred_matches_sequential)."""
-    maker = (blocked_ekf.make_sharded_deferred_step if deferred
-             else blocked_ekf.make_sharded_step)
-    step = maker(cfg, mesh, batch, M)
+    semantics (test_blocked_ekf::test_deferred_matches_sequential).
+    ``grid_kernel=None`` auto-enables the fused Pallas grid pass on TPU."""
+    if deferred:
+        step = blocked_ekf.make_sharded_deferred_step(
+            cfg, mesh, batch, M,
+            grid_kernel=_resolve_grid_kernel(grid_kernel, cfg, mesh, dtype))
+    else:
+        step = blocked_ekf.make_sharded_step(cfg, mesh, batch, M)
 
     @functools.partial(jax.jit, static_argnames=("ticks",))
     def run(state, wl: BigMapWorkload, Q, R, t0, ticks: int):
@@ -104,16 +122,21 @@ def make_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int,
 
 
 def make_unknown_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int,
-                        deferred: bool = True):
+                        deferred: bool = True,
+                        grid_kernel: bool | None = None, dtype=jnp.float32):
     """Like :func:`make_runner` but with UNKNOWN association: every
     measurement is gated by the blockwise-distributed Mahalanobis first-hit
     scan instead of carrying its landmark id — the config-4 workload at the
     reference's association semantics. ``deferred=True`` uses the rank-2M
-    one-grid-pass-per-tick step (identical gate decisions; association
-    scores against the carried diagonal strip)."""
-    maker = (blocked_ekf.make_sharded_deferred_unknown_step if deferred
-             else blocked_ekf.make_sharded_unknown_step)
-    step = maker(cfg, mesh, batch, M)
+    one-grid-pass-per-tick step (gate decisions identical in exact
+    arithmetic; association scores against the carried diagonal strip).
+    ``grid_kernel=None`` auto-enables the fused Pallas grid pass on TPU."""
+    if deferred:
+        step = blocked_ekf.make_sharded_deferred_unknown_step(
+            cfg, mesh, batch, M,
+            grid_kernel=_resolve_grid_kernel(grid_kernel, cfg, mesh, dtype))
+    else:
+        step = blocked_ekf.make_sharded_unknown_step(cfg, mesh, batch, M)
 
     @functools.partial(jax.jit, static_argnames=("ticks",))
     def run(state, wl: BigMapWorkload, Q, R, t0, ticks: int):

@@ -147,3 +147,59 @@ def test_deferred_unknown_matches_sequential(map_devices):
         ns = int(a.n_seen[bb])
         np.testing.assert_allclose(a.cov_mm[bb][:ns, :, :ns, :],
                                    b.cov_mm[bb][:ns, :, :ns, :], atol=1e-8)
+
+
+def test_deferred_unknown_f32_association_decisions():
+    """f32 (the config-4 production dtype): the deferred tick's gate
+    decisions match the sequential tick over a long rollout. The two paths
+    are identical only in exact arithmetic (the reconstructed grid column
+    and carried diagonal round differently), so this uses gate-robust
+    inputs — well-separated world points, tight measurement noise — where
+    a sub-ulp score difference cannot flip a first-hit decision, and
+    asserts the DECISIONS (n_seen / seen / which slots updated) plus
+    f32-tolerance state equality."""
+    dtype = jnp.float32
+    cfg = ekf.EKFConfig(num_landmarks=16)
+    Q = jnp.diag(jnp.array([1e-4, 1e-4, 1e-4], dtype))
+    R = jnp.diag(jnp.array([1e-3, 1e-3], dtype))
+
+    rng = np.random.default_rng(42)
+    T = 20
+    twists = jnp.asarray(rng.uniform(-0.02, 0.02, (1, T, 3)), dtype)
+    # 10 world points >= 1.5 m apart: revisits score far below match_gate,
+    # fresh points far above new_gate — decisively outside the gray zone
+    world_pts = np.stack([3.0 * np.cos(np.arange(10) * 0.63) + 5,
+                          3.0 * np.sin(np.arange(10) * 0.63)], axis=-1)
+    zs = np.zeros((1, T, M, 2))
+    for t in range(T):
+        for k in range(M):
+            p = world_pts[(t + k) % 10] + rng.normal(0, 1e-5, 2)
+            zs[0, t, k] = [np.hypot(*p), np.arctan2(p[1], p[0])]
+    zs = jnp.asarray(zs, dtype)
+    valid = jnp.ones((1, T, M), bool)
+
+    mesh = mesh_lib.make_mesh(jax.devices()[:4], data=1)
+    results = []
+    for maker in (blocked_ekf.make_sharded_unknown_step,
+                  blocked_ekf.make_sharded_deferred_unknown_step):
+        step = maker(cfg, mesh, 1, M)
+        bst = blocked_ekf.init(cfg, 1, dtype=dtype)
+        specs = blocked_ekf.state_sharding(mesh)
+        bst = jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), bst,
+            specs)
+        seen_hist = []
+        for t in range(T):
+            bst = step(bst, twists[:, t], zs[:, t], valid[:, t], Q, R)
+            seen_hist.append(np.asarray(bst.seen).copy())
+        results.append((jax.tree_util.tree_map(np.asarray, bst), seen_hist))
+
+    (a, hist_a), (b, hist_b) = results
+    # decision equality at every tick, not just the end
+    for t in range(T):
+        np.testing.assert_array_equal(hist_a[t], hist_b[t])
+    np.testing.assert_array_equal(a.n_seen, b.n_seen)
+    assert 6 <= int(a.n_seen[0]) <= 10   # most points initialized
+    np.testing.assert_allclose(a.mean_r, b.mean_r, atol=1e-5)
+    np.testing.assert_allclose(a.mean_m, b.mean_m, atol=1e-5)
+    np.testing.assert_allclose(a.cov_rr, b.cov_rr, atol=1e-5)

@@ -10,6 +10,8 @@ from shermbot_navigation_tpu.ops.pallas.cov_update import (
     fused_kalman_update, reference_kalman_update)
 from shermbot_navigation_tpu.ops.pallas.circle_moments import (
     circle_moments, reference_circle_moments)
+from shermbot_navigation_tpu.ops.pallas.grid_update import (
+    fused_grid_update, reference_grid_update)
 
 
 class TestFusedKalmanUpdate:
@@ -75,3 +77,94 @@ class TestCircleMoments:
         b = -A[2] / (2 * A[0]) + cent[0, 1]
         np.testing.assert_allclose([float(a), float(b)],
                                    [4.615482, 2.807354], atol=1e-3)
+
+
+class TestFusedGridUpdate:
+    """The deferred grid-pass kernel vs its XLA oracle, including mixed
+    init/update op histories (row/col overwrite replay + masked rank-2M)."""
+
+    def _inputs(self, Nl, N, M, seed=0):
+        rng = np.random.default_rng(seed)
+        cov = rng.normal(size=(2 * Nl, 2 * N)).astype(np.float32)
+        a = rng.normal(size=(2 * Nl, 2 * M)).astype(np.float32)
+        b = rng.normal(size=(2 * M, 2 * N)).astype(np.float32)
+        crow = rng.normal(size=(2 * M, 2 * N)).astype(np.float32)
+        ccol = rng.normal(size=(2 * Nl, 2 * M)).astype(np.float32)
+        # last-init op indices: mostly -1 (no init), some rows/cols init'd
+        rowt = np.full(Nl, -1, np.int32)
+        colt = np.full(N, -1, np.int32)
+        rows = rng.choice(Nl, size=max(1, Nl // 4), replace=False)
+        rowt[rows] = rng.integers(0, M, rows.size)
+        cols = rng.choice(N, size=max(1, N // 4), replace=False)
+        colt[cols] = rng.integers(0, M, cols.size)
+        return (jnp.asarray(cov), jnp.asarray(a), jnp.asarray(b),
+                jnp.asarray(crow), jnp.asarray(ccol),
+                jnp.asarray(np.repeat(rowt, 2)),
+                jnp.asarray(np.repeat(colt, 2)))
+
+    @pytest.mark.parametrize("Nl,N,M", [(64, 64, 4), (32, 128, 8)])
+    def test_matches_reference(self, Nl, N, M):
+        args = self._inputs(Nl, N, M)
+        got = fused_grid_update(*args, interpret=True)
+        want = reference_grid_update(*args)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_no_ops_is_pure_subtract(self):
+        args = self._inputs(64, 64, 4, seed=3)
+        cov, a, b, crow, ccol, _, _ = args
+        rowt = jnp.full((128,), -1, jnp.int32)
+        colt = jnp.full((128,), -1, jnp.int32)
+        got = fused_grid_update(cov, a, b, crow, ccol, rowt, colt,
+                                interpret=True)
+        want = cov - jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+class TestDeferredGridKernelPath:
+    """The deferred sharded step with grid_kernel=True (interpret mode)
+    equals the XLA deferred step at f32 — the production config-4 path."""
+
+    def test_known_association_end_to_end(self):
+        from shermbot_navigation_tpu.models import ekf_slam as ekf
+        from shermbot_navigation_tpu.parallel import (
+            blocked_ekf, mesh as mesh_lib)
+        from jax.sharding import NamedSharding
+
+        N, M, B = 64, 4, 1
+        dtype = jnp.float32
+        cfg = ekf.EKFConfig(num_landmarks=N)
+        Q = jnp.diag(jnp.array([1e-4] * 3, dtype))
+        R = jnp.diag(jnp.array([1e-3] * 2, dtype))
+        rng = np.random.default_rng(7)
+        T = 3
+        twists = jnp.asarray(rng.uniform(-0.05, 0.05, (B, T, 3)), dtype)
+        zs = jnp.asarray(
+            np.stack([rng.uniform(0.3, 1.0, (B, T, M)),
+                      rng.uniform(-3, 3, (B, T, M))], axis=-1), dtype)
+        valid = jnp.ones((B, T, M), bool)
+        ids = np.zeros((B, T, M), np.int32)
+        for t in range(T):
+            for k in range(M):
+                ids[:, t, k] = (t * M + k) % (T * M)
+        ids = jnp.asarray(ids)
+
+        mesh = mesh_lib.make_mesh(jax.devices()[:1], data=1)
+        results = []
+        for kw in ({}, {"grid_kernel": True, "kernel_interpret": True}):
+            step = blocked_ekf.make_sharded_deferred_step(
+                cfg, mesh, B, M, **kw)
+            bst = blocked_ekf.init(cfg, B, dtype=dtype)
+            specs = blocked_ekf.state_sharding(mesh)
+            bst = jax.tree_util.tree_map(
+                lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                bst, specs)
+            for t in range(T):
+                bst = step(bst, twists[:, t], zs[:, t], valid[:, t],
+                           ids[:, t], Q, R)
+            results.append(jax.tree_util.tree_map(np.asarray, bst))
+        a, b = results
+        np.testing.assert_array_equal(a.n_seen, b.n_seen)
+        np.testing.assert_allclose(a.mean_r, b.mean_r, atol=1e-6)
+        np.testing.assert_allclose(a.mean_m, b.mean_m, atol=1e-6)
+        # grids differ only by the matmul accumulation order
+        np.testing.assert_allclose(a.cov_mm, b.cov_mm, atol=1e-4)
