@@ -33,8 +33,12 @@ def main():
     cfg = EKFConfig(num_landmarks=N)
     wl = bigmap.make_workload(N, T, M, jax.random.PRNGKey(0))
     deferred = not bool(int(os.environ.get("BIGMAP_SEQUENTIAL", "0")))
+    # grid kernel: unset -> auto (Pallas fused grid pass on TPU); 0/1 force
+    gk_env = os.environ.get("BIGMAP_GRID_KERNEL", "")
+    grid_kernel = None if gk_env == "" else bool(int(gk_env))
     runner = (bigmap.make_unknown_runner if unknown
-              else bigmap.make_runner)(cfg, mesh, 1, M, deferred=deferred)
+              else bigmap.make_runner)(cfg, mesh, 1, M, deferred=deferred,
+                                       grid_kernel=grid_kernel)
     state = blocked_ekf.init(cfg, 1)
     specs = blocked_ekf.state_sharding(mesh)
     state = jax.tree_util.tree_map(
@@ -54,6 +58,9 @@ def main():
     print(json.dumps({
         "metric": "blocked_ekf_ticks_per_sec",
         "association": "unknown" if unknown else "known",
+        "step": "deferred" if deferred else "sequential",
+        "grid_kernel": bigmap._resolve_grid_kernel(
+            grid_kernel, cfg, mesh, jnp.float32) if deferred else False,
         "value": round(T / dt, 2),
         "unit": "ticks/s",
         "N_landmarks": N,

@@ -87,11 +87,28 @@ class EKFConfig:
     # "first_hit": the reference's scan-order gating (SURVEY 2.4).
     # "nearest": statistically-sound nearest-neighbor gating (quality mode;
     # pair with chi-square gates like 5.99/13.8 and wrap_innovation=True).
-    assoc_mode: str = "first_hit"      
+    assoc_mode: str = "first_hit"
+    # Allocate the state padded to this size (0 = exact 3+2N). The logical
+    # dim 3+2N is always ODD, so the lane-aligned (D % 128 == 0) shapes the
+    # fused Pallas Kalman update wants require padding; padded slots carry
+    # zero mean/covariance and are provably inert (their Sigma columns stay
+    # zero, so gains never touch them). Set to round_up(3+2N, 128) to route
+    # updates through ops/pallas/cov_update on TPU.
+    pad_state_to: int = 0
+    # Kalman-update schedule: "auto" uses the fused Pallas kernel exactly
+    # when it applies (TPU backend, f32, padded lane-aligned dim >= 1024);
+    # "on" forces it (interpret mode off-TPU is the test hook); "off" keeps
+    # the XLA schedule.
+    pallas_update: str = "auto"
 
     @property
     def dim(self) -> int:
-        return 3 + 2 * self.num_landmarks
+        D = 3 + 2 * self.num_landmarks
+        if self.pad_state_to:
+            if self.pad_state_to < D:
+                raise ValueError(f"pad_state_to {self.pad_state_to} < {D}")
+            return self.pad_state_to
+        return D
 
 
 class EKFState(NamedTuple):
@@ -121,10 +138,10 @@ def init(config: EKFConfig, robot_pose, dtype=jnp.float32) -> EKFState:
     """
     D = config.dim
     mean = jnp.zeros((D,), dtype).at[:3].set(jnp.asarray(robot_pose, dtype))
-    diag = jnp.concatenate(
-        [jnp.zeros((3,), dtype),
-         jnp.full((2 * config.num_landmarks,), config.init_cov, dtype)]
-    )
+    # landmark diag = init_cov on the 2N logical slots; any padded tail
+    # (config.pad_state_to) stays zero — inert under every update
+    diag = jnp.zeros((D,), dtype).at[3:3 + 2 * config.num_landmarks].set(
+        jnp.asarray(config.init_cov, dtype))
     return EKFState(mean=mean, cov=jnp.diag(diag), n_seen=jnp.int32(0),
                     seen=jnp.zeros((config.num_landmarks,), bool))
 
@@ -261,6 +278,28 @@ def _inv2x2(M):
 # Update
 # ---------------------------------------------------------------------------
 
+def _pallas_update_mode(config: EKFConfig, D: int, dtype):
+    """Resolve the Kalman-update schedule at trace time.
+
+    Returns ``None`` (XLA), ``"tpu"`` (compiled fused kernel) or
+    ``"interpret"`` (the kernel in interpreter mode — the CPU test hook
+    that exercises the exact routed code path).
+    """
+    if config.pallas_update == "off":
+        return None
+    aligned = D % 128 == 0 and dtype == jnp.float32
+    if config.pallas_update == "on":
+        if not aligned:
+            raise ValueError(
+                f"pallas_update='on' needs f32 and D % 128 == 0 (set "
+                f"pad_state_to); got D={D}, {dtype}")
+        return "tpu" if jax.default_backend() == "tpu" else "interpret"
+    # auto: only where the fused pass wins — big lane-aligned states on TPU
+    if aligned and D >= 1024 and jax.default_backend() == "tpu":
+        return "tpu"
+    return None
+
+
 def update(config: EKFConfig, state: EKFState, z, j, R) -> EKFState:
     """Kalman update against landmark slot ``j`` (ref ``update``,
     slam_library.cpp:263-282), exploiting H-sparsity:
@@ -268,6 +307,11 @@ def update(config: EKFConfig, state: EKFState, z, j, R) -> EKFState:
     - ``Sigma H^T`` is a linear combination of 5 columns of Sigma — O(D).
     - ``K = Sigma H^T psi^{-1}`` with closed-form 2x2 ``psi^{-1}`` — O(D).
     - ``Sigma <- Sigma - K (H Sigma)`` is a rank-2 outer product — O(D^2).
+
+    The O(D^2) tail is HBM-bound; on TPU with a lane-aligned padded state
+    (``config.pad_state_to``) it routes through the fused Pallas kernel
+    (ops/pallas/cov_update.py: gain + mean shift + covariance downdate in
+    one read+write of Sigma) per ``config.pallas_update``.
 
     The innovation is raw ``z - z_hat`` like the reference (no angle wrap)
     unless ``config.wrap_innovation``; theta is re-normalized afterwards
@@ -293,19 +337,27 @@ def update(config: EKFConfig, state: EKFState, z, j, R) -> EKFState:
     psi = jnp.matmul(H5, jnp.concatenate([rows_r, rows_m], axis=0),
                      precision=PRECISION) + R                      # (2, 2)
 
-    K = jnp.matmul(SHt, _inv2x2(psi), precision=PRECISION)         # (D, 2)
-
     z_hat = jnp.stack(
         [sq, se2.normalize_angle(jnp.arctan2(dy, dx) - mean[0])])
     dz = z - z_hat
     if config.wrap_innovation:
         dz = dz.at[1].set(se2.normalize_angle(dz[1]))
 
-    mean = mean + jnp.matmul(K, dz, precision=PRECISION)
-    mean = mean.at[0].set(se2.normalize_angle(mean[0]))
+    mode = _pallas_update_mode(config, mean.shape[0], dt)
+    if mode is not None:
+        from ..ops.pallas.cov_update import fused_kalman_update
+        D = mean.shape[0]
+        tile = max(t for t in (512, 256, 128) if D % t == 0)
+        cov, mean = fused_kalman_update(
+            cov, SHt, _inv2x2(psi), dz, mean, tile=tile,
+            interpret=(mode == "interpret"))
+    else:
+        K = jnp.matmul(SHt, _inv2x2(psi), precision=PRECISION)     # (D, 2)
+        mean = mean + jnp.matmul(K, dz, precision=PRECISION)
+        # (I - K H) Sigma = Sigma - K (H Sigma); H Sigma = (Sigma H^T)^T
+        cov = cov - jnp.matmul(K, SHt.T, precision=PRECISION)
 
-    # (I - K H) Sigma = Sigma - K (H Sigma); H Sigma = (Sigma H^T)^T by symmetry
-    cov = cov - jnp.matmul(K, SHt.T, precision=PRECISION)
+    mean = mean.at[0].set(se2.normalize_angle(mean[0]))
     if config.symmetrize:
         cov = 0.5 * (cov + cov.T)
     return EKFState(mean=mean, cov=cov, n_seen=state.n_seen,
@@ -466,8 +518,9 @@ def associate(config: EKFConfig, state: EKFState, z, R) -> AssocResult:
     z = jnp.asarray(z, dt)
     R = jnp.asarray(R, dt)
 
-    # Per-landmark geometry, batched over all capacity slots.
-    m = mean[3:].reshape(N, 2)
+    # Per-landmark geometry, batched over all capacity slots (slicing to
+    # 3+2N keeps this exact under a padded state, config.pad_state_to).
+    m = mean[3:3 + 2 * N].reshape(N, 2)
     dx = m[:, 0] - mean[1]
     dy = m[:, 1] - mean[2]
     d = jnp.maximum(dx * dx + dy * dy, jnp.asarray(1e-12, dt))
@@ -476,8 +529,8 @@ def associate(config: EKFConfig, state: EKFState, z, R) -> AssocResult:
 
     # Gather per-landmark 5x5 covariance sub-blocks.
     Srr = cov[:3, :3]                            # (3, 3)
-    Srm = cov[:3, 3:].reshape(3, N, 2).transpose(1, 0, 2)   # (N, 3, 2)
-    rows = cov[3:, 3:].reshape(N, 2, N, 2)
+    Srm = cov[:3, 3:3 + 2 * N].reshape(3, N, 2).transpose(1, 0, 2)  # (N,3,2)
+    rows = cov[3:3 + 2 * N, 3:3 + 2 * N].reshape(N, 2, N, 2)
     Smm = rows[jnp.arange(N), :, jnp.arange(N), :]          # (N, 2, 2)
     top = jnp.concatenate([jnp.broadcast_to(Srr, (N, 3, 3)), Srm], axis=2)
     bot = jnp.concatenate([Srm.transpose(0, 2, 1), Smm], axis=2)

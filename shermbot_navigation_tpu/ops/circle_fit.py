@@ -50,8 +50,10 @@ class CircleFits(NamedTuple):
     valid: jnp.ndarray   # (C,) fit is well-defined (>= 4 points, finite)
 
 
-def _fit_one(pts, count, valid):
-    """Fit one padded cluster: pts (P, 2), count scalar."""
+def _moments_one(pts, count):
+    """Masked centroid + 4x4 moment matrix for one padded cluster — the
+    data-touching front end (ref :19-47). The batched TPU path computes the
+    same quantities in one fused Pallas pass (ops/pallas/circle_moments)."""
     dt = pts.dtype
     P = pts.shape[0]
     mask = (jnp.arange(P) < count)
@@ -70,6 +72,14 @@ def _fit_one(pts, count, valid):
     # moment matrix M = Z^T Z with Z = [z, x, y, 1] on valid rows (ref :37-47)
     Z = jnp.stack([z, x, y, w], axis=-1)  # (P, 4); masked rows are all-zero
     M = jnp.matmul(Z.T, Z, precision=PRECISION)
+    return M, jnp.stack([cx, cy]), z_bar
+
+
+def _fit_tail(M, centroid, z_bar, count, valid):
+    """The eigen-chain on a 4x4 moment matrix (ref :50-110) — tiny,
+    compute-bound, shared by the XLA and Pallas front ends."""
+    dt = M.dtype
+    cx, cy = centroid[0], centroid[1]
 
     # H^{-1} (ref :55-61)
     Hinv = jnp.array(
@@ -118,10 +128,40 @@ def _fit_one(pts, count, valid):
     return center, radius, ok
 
 
-def fit_circles(clusters: Clusters) -> CircleFits:
-    """Batched circle fit over all cluster slots."""
-    center, radius, ok = jax.vmap(_fit_one)(
-        clusters.points, clusters.counts, clusters.valid)
+def _fit_one(pts, count, valid):
+    """Fit one padded cluster: pts (P, 2), count scalar."""
+    M, centroid, z_bar = _moments_one(pts, count)
+    return _fit_tail(M, centroid, z_bar, count, valid)
+
+
+def _use_moments_kernel(use_pallas, clusters: Clusters) -> bool:
+    """``None`` -> auto: the fused Pallas moment pass on TPU f32 batches
+    whose cluster count tiles evenly (all production scenarios do)."""
+    if use_pallas is not None:
+        return bool(use_pallas)
+    C = clusters.points.shape[0]
+    return (jax.default_backend() == "tpu"
+            and clusters.points.dtype == jnp.float32 and C % 8 == 0)
+
+
+def fit_circles(clusters: Clusters, use_pallas: bool | None = None,
+                interpret: bool = False) -> CircleFits:
+    """Batched circle fit over all cluster slots.
+
+    The data-touching front end (masked centroid + moment matrices) runs as
+    ONE fused Pallas pass over the point buffer on TPU
+    (ops/pallas/circle_moments, ``use_pallas=None`` auto); the tiny 4x4
+    eigen-chain stays in XLA either way. ``interpret`` runs the kernel in
+    interpreter mode (CPU test hook)."""
+    if _use_moments_kernel(use_pallas, clusters):
+        from .pallas.circle_moments import circle_moments
+        M, cent, zbar = circle_moments(clusters.points, clusters.counts,
+                                       interpret=interpret)
+    else:
+        M, cent, zbar = jax.vmap(_moments_one)(
+            clusters.points, clusters.counts)
+    center, radius, ok = jax.vmap(_fit_tail)(
+        M, cent, zbar, clusters.counts, clusters.valid)
     return CircleFits(center=center, radius=radius, valid=ok)
 
 
