@@ -254,15 +254,12 @@ def _init_landmark_shard(config, st, z, j, R, n_local):
         st.cov_rm)
 
     # cross to other landmarks: Sigma_{m_j, m_k} = Gx Sigma_{r, m_k}
-    # rows (owner only): (2, N, 2) = Gx @ cov_rm_global. cov_rm is sharded;
-    # the ROW lives on the owner, so a gather is unavoidable — but gather
-    # the (2, Nl, 2) PRODUCT Gx @ cov_rm_local (computed shard-locally,
-    # element-for-element identical) instead of the (3, Nl, 2) strip:
-    # 16N bytes on the wire instead of 24N.
-    cross_loc = jnp.einsum("pi,imq->pmq", Gx, st.cov_rm,
-                           precision=PRECISION)                    # (2, Nl, 2)
-    cross_m = jax.lax.all_gather(cross_loc, "map", axis=1,
-                                 tiled=True)                       # (2, N, 2)
+    # rows (owner only): (2, N, 2) = Gx @ cov_rm_global. cov_rm is sharded:
+    # each shard contributes its cols — but the ROW lives on the owner.
+    # We need cov_rm (3, N, 2) globally on the owner: all_gather the strip.
+    rm_full = jax.lax.all_gather(st.cov_rm, "map", axis=1, tiled=True)  # (3,N,2)
+    cross_m = jnp.einsum("pi,imq->pmq", Gx, rm_full,
+                         precision=PRECISION)                      # (2, N, 2)
     # write owner's row block of cov_mm
     cov_mm = jnp.where(
         owns,
@@ -434,9 +431,7 @@ def make_sharded_step(config: EKFConfig, mesh: Mesh, batch: int,
 
 
 def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
-                           max_meas: int, known: bool,
-                           grid_kernel: bool = False,
-                           kernel_interpret: bool = False):
+                           max_meas: int, known: bool):
     """SLAM tick with a DEFERRED landmark-grid update (known or unknown
     association; see the public wrappers below).
 
@@ -458,26 +453,12 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
     entry the last overwrite (if any) wins and only later rank-2 terms are
     subtracted — the (i > last_init) masks factor per-row and per-column,
     so the combined subtraction is a single (2*Nl, 2*M) x (2*M, 2*N)
-    matmul. In exact arithmetic this equals the sequential result; in
-    finite precision only summation order differs (pinned by
-    test_blocked_ekf / test_blocked_unknown at f64 tolerance and by an f32
-    association-decision rollout).
+    matmul. In exact arithmetic this equals the sequential result; in f32
+    only summation order differs (pinned by test_blocked_ekf to fp
+    tolerance).
 
-    Communication structure (the multi-host story, bench_scaling.py): the
-    per-measurement scan issues only O(1)-byte owner-broadcast psums — the
-    strips it buffers are kept SHARD-LOCAL (``HSbuf`` holds each shard's
-    rows of Sigma H^T, ``CRbuf`` each shard's columns of the init cross
-    strip) and the two O(M*N)-byte ``all_gather``s that assemble global
-    strips happen ONCE per tick, at the grid pass, where XLA can overlap
-    them with the scan epilogue. Reconstruction reads that previously
-    gathered full strips (v1) now pull single-column packets from the
-    owner: one (M, 2, 2) psum per measurement.
-
-    HBM traffic per tick drops from ~2*M full-grid passes to ~2-3 (XLA
-    schedule), or the 2-pass floor with ``grid_kernel=True`` — the fused
-    Pallas pass (ops/pallas/grid_update.py; f32 + lane-aligned shapes
-    only, which config 4 always satisfies). ``kernel_interpret`` runs the
-    kernel in interpreter mode (CPU tests).
+    HBM traffic per tick drops from ~2*M full-grid passes to ~2-3, which is
+    what the measured config-4 throughput is bound by (BENCH_NOTES).
     """
     N = config.num_landmarks
     n_map = mesh.shape["map"]
@@ -485,13 +466,6 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
         raise ValueError(f"num_landmarks {N} not divisible by map={n_map}")
     n_local = N // n_map
     M = max_meas
-
-    if grid_kernel:
-        from ..ops.pallas import grid_update as _gu
-        if not _gu.grid_shapes_supported(2 * n_local, 2 * N):
-            raise ValueError(
-                f"grid_kernel needs lane-aligned shapes; got local grid "
-                f"({2 * n_local}, {2 * N})")
 
     specs = state_sharding(mesh)
     if known:
@@ -515,44 +489,26 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
             cov_mm0 = st1.cov_mm                     # (Nl, 2, N, 2) frozen
             shard = jax.lax.axis_index("map").astype(jnp.int32)
             off = shard * jnp.int32(n_local)
-            # FLAT column-major view of the frozen grid for the in-scan
-            # column reads. Grid-shaped intermediates must never expose a
-            # size-2 minor dim: TPU layout assignment pads the lane dim to
-            # 128 (64x -> 4.3 GB at N=2048, 64 GiB OOM at N=8192) and the
-            # padded while-carry costs 6x tick throughput — measured, see
-            # BENCH_NOTES. A (N, 4*Nl) 2D array has large dims on both
-            # axes, so no padded layout exists for XLA to pick.
-            mm0_flat = jnp.transpose(cov_mm0, (2, 0, 1, 3)
-                                     ).reshape(N, 4 * n_local)
+            mm0_T = jnp.transpose(cov_mm0, (2, 0, 1, 3))   # (N, Nl, 2, 2)
             ii_loc = jnp.arange(n_local, dtype=jnp.int32)
             diag0 = jnp.take_along_axis(
                 cov_mm0, (off + ii_loc)[:, None, None, None],
                 axis=2)[:, :, 0, :]                  # (Nl, 2, 2) own blocks
 
-            # op-history buffers — ALL SHARD-LOCAL (HSbuf: local rows of
-            # Sigma H^T per update; CRbuf: local columns of the init cross
-            # strip, own column pre-patched with B_own). Global strips are
-            # assembled by two all_gathers once per tick, at the grid pass.
+            # op-history buffers (local K, global HSigma / cross strips)
             Kbuf = jnp.zeros((M, n_local, 2, 2), dtype)
-            HSbuf = jnp.zeros((M, n_local, 2, 2), dtype)
-            CRbuf = jnp.zeros((M, 2, n_local, 2), dtype)
+            HSbuf = jnp.zeros((M, N, 2, 2), dtype)
+            CRbuf = jnp.zeros((M, 2, N, 2), dtype)
+            Bbuf = jnp.zeros((M, 2, 2), dtype)
             gbuf = jnp.zeros((M,), jnp.int32)
             kindbuf = jnp.zeros((M,), jnp.int32)     # 0 none / 1 update / 2 init
 
             def col_at(bufs, j, g):
                 """Grid column g (local rows, (Nl,2,2)) after ops 0..j-1."""
-                Kb, HSb, CRb, gb, kb = bufs
-                col = jax.lax.dynamic_index_in_dim(
-                    mm0_flat, g, axis=0, keepdims=False
-                ).reshape(n_local, 2, 2)
+                Kb, HSb, CRb, Bb, gb, kb = bufs
+                col = jax.lax.dynamic_index_in_dim(mm0_T, g, axis=0,
+                                                   keepdims=False)
                 g_loc = g - off
-                owns_g = (g_loc >= 0) & (g_loc < n_local)
-                g_safe = jnp.clip(g_loc, 0, n_local - 1).astype(jnp.int32)
-                w_own = jnp.where(owns_g, 1.0, 0.0).astype(dtype)
-                # column-g packets of every buffered op, in ONE batched
-                # owner-broadcast each: (M, 2, 2) = O(M) bytes, not O(N)
-                hs_g = jax.lax.psum(w_own * HSb[:, g_safe], "map")
-                cr_g = jax.lax.psum(w_own * CRb[:, :, g_safe], "map")
                 rows = jnp.arange(n_local, dtype=jnp.int32)
                 for i in range(M):
                     past = jnp.asarray(i, jnp.int32) < j
@@ -560,19 +516,27 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
                     is_init = past & (kb[i] == 2)
                     s_i = gb[i]
                     # rank-2 subtraction on this column
-                    corr = jnp.einsum("npq,rq->npr", Kb[i], hs_g[i],
+                    corr = jnp.einsum("npq,rq->npr", Kb[i],
+                                      jax.lax.dynamic_index_in_dim(
+                                          HSb[i], g, axis=0, keepdims=False),
                                       precision=PRECISION)
                     col = jnp.where(is_upd, col - corr, col)
                     # init at slot s_i == g: whole column overwritten with
-                    # the cross strip's local columns, transposed (the own
-                    # diagonal block is pre-patched into CRbuf)
-                    over = jnp.transpose(CRb[i], (1, 2, 0))    # (Nl, 2, 2)
+                    # the cross strip (local slice, transposed), own block
+                    # at the diagonal row
+                    cr_loc = jax.lax.dynamic_slice_in_dim(
+                        CRb[i], off, n_local, axis=1)          # (2, Nl, 2)
+                    over = jnp.transpose(cr_loc, (1, 2, 0))    # (Nl, 2, 2)
+                    diag_row = (rows == (s_i - off))[:, None, None]
+                    over = jnp.where(diag_row, Bb[i][None], over)
                     col = jnp.where(is_init & (s_i == g), over, col)
                     # init at another slot: row s_i of this column becomes
                     # the cross strip's column g (if s_i is a local row)
+                    row_val = jax.lax.dynamic_index_in_dim(
+                        CRb[i], g, axis=1, keepdims=False)      # (2,2)[p,r]
                     hit_row = (rows == (s_i - off))[:, None, None]
                     col = jnp.where(is_init & (s_i != g) & hit_row,
-                                    cr_g[i][None], col)
+                                    row_val[None], col)
                 return col
 
             def body(carry, inp):
@@ -582,7 +546,7 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
                     g = g.astype(jnp.int32)
                 else:
                     z, v = inp
-                Kb, HSb, CRb, gb, kb = bufs
+                Kb, HSb, CRb, Bb, gb, kb = bufs
                 if known:
                     g_loc = g - off
                     owns = (g_loc >= 0) & (g_loc < n_local)
@@ -645,6 +609,8 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
                 K_r = jnp.matmul(SHt_r, psi_inv, precision=PRECISION)
                 K_m = jnp.einsum("npq,qr->npr", SHt_m, psi_inv,
                                  precision=PRECISION)
+                HS_full = jax.lax.all_gather(SHt_m, "map", axis=0,
+                                             tiled=True)         # (N, 2, 2)
 
                 upd_mean_r = s.mean_r + jnp.matmul(K_r, dz,
                                                    precision=PRECISION)
@@ -672,26 +638,15 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
                                 jnp.ones_like(r_)])])
                 Gz = jnp.stack([jnp.stack([ca, -r_ * sa]),
                                 jnp.stack([sa, r_ * ca])])
-                # LOCAL columns of the init cross strip — each shard holds
-                # exactly its slice of Sigma_{m_new, m_k} = Gx Sigma_{r, m_k},
-                # so NO per-measurement all_gather is needed (v1 gathered the
-                # whole (3, N, 2) strip here; the global strip is assembled
-                # once per tick at the grid pass instead)
-                cross_loc = jnp.einsum("pi,imq->pmq", Gx, s.cov_rm,
-                                       precision=PRECISION)      # (2, Nl, 2)
+                rm_full = jax.lax.all_gather(s.cov_rm, "map", axis=1,
+                                             tiled=True)          # (3, N, 2)
+                cross_m = jnp.einsum("pi,imq->pmq", Gx, rm_full,
+                                     precision=PRECISION)         # (2, N, 2)
                 B_own = (jnp.matmul(
                     jnp.matmul(Gx, s.cov_rr, precision=PRECISION), Gx.T,
                     precision=PRECISION)
                     + jnp.matmul(jnp.matmul(Gz, R, precision=PRECISION),
                                  Gz.T, precision=PRECISION))
-                # pre-patch the own column with the own 2x2 block so both
-                # the column reconstruction and the final replay land B_own
-                # at the (slot, slot) diagonal without a separate buffer
-                cross_loc = jnp.where(
-                    owns,
-                    jax.lax.dynamic_update_index_in_dim(
-                        cross_loc, B_own, g_safe, axis=1),
-                    cross_loc)
                 cross_r = jnp.matmul(Gx, s.cov_rr, precision=PRECISION).T
                 ini_mean_m = jnp.where(
                     owns, jax.lax.dynamic_update_index_in_dim(
@@ -724,43 +679,30 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
                 kind = jnp.where(do_update, 1, jnp.where(is_new, 2, 0)
                                  ).astype(jnp.int32)
                 zK = jnp.where(do_update, K_m, jnp.zeros_like(K_m))
-                zHS = jnp.where(do_update, SHt_m, jnp.zeros_like(SHt_m))
+                zHS = jnp.where(do_update, HS_full, jnp.zeros_like(HS_full))
                 bufs = (
                     jax.lax.dynamic_update_index_in_dim(Kb, zK, j, axis=0),
                     jax.lax.dynamic_update_index_in_dim(HSb, zHS, j, axis=0),
                     jax.lax.dynamic_update_index_in_dim(
-                        CRb, jnp.where(is_new, cross_loc,
-                                       jnp.zeros_like(cross_loc)), j,
-                        axis=0),
+                        CRb, jnp.where(is_new, cross_m,
+                                       jnp.zeros_like(cross_m)), j, axis=0),
+                    jax.lax.dynamic_update_index_in_dim(
+                        Bb, jnp.where(is_new, B_own, jnp.zeros_like(B_own)),
+                        j, axis=0),
                     jax.lax.dynamic_update_index_in_dim(
                         gb, jnp.where(kind > 0, g, -1), j, axis=0),
                     jax.lax.dynamic_update_index_in_dim(kb, kind, j, axis=0),
                 )
                 return (s, bufs, diag, stopped | is_overflow, j + 1), None
 
-            bufs0 = (Kbuf, HSbuf, CRbuf, gbuf, kindbuf)
+            bufs0 = (Kbuf, HSbuf, CRbuf, Bbuf, gbuf, kindbuf)
             xs = (zs1, va1, id1) if known else (zs1, va1)
-            # the scan body never touches the raw grid (columns come from
-            # mm0_T, association from the carried diag) — keep it OUT of
-            # the while-loop carry so layout assignment cannot relayout it
-            st1_scan = st1._replace(cov_mm=jnp.zeros((1, 1, 1, 1), dtype))
-            (st1_out, bufs, _, _, _), _ = jax.lax.scan(
-                body,
-                (st1_scan, bufs0, diag0, jnp.bool_(False), jnp.int32(0)),
+            (st1, bufs, _, _, _), _ = jax.lax.scan(
+                body, (st1, bufs0, diag0, jnp.bool_(False), jnp.int32(0)),
                 xs)
-            st1 = st1_out._replace(cov_mm=cov_mm0)
-            Kb, HSb, CRb, gb, kb = bufs
+            Kb, HSb, CRb, Bb, gb, kb = bufs
 
             # ---- ONE fused grid pass: overwrites + combined rank-2M ----
-            # the tick's only O(N)-scale collectives: assemble the global
-            # H-Sigma strips and init cross strips from the shard-local
-            # buffers (2 x 16*M*N bytes per tick, overlappable with the
-            # mask/flatten prologue below)
-            HSfull = jax.lax.all_gather(HSb, "map", axis=1,
-                                        tiled=True)               # (M,N,2,2)
-            CRfull = jax.lax.all_gather(CRb, "map", axis=2,
-                                        tiled=True)               # (M,2,N,2)
-
             iota = jnp.arange(M, dtype=jnp.int32)
             is_init_op = kb == 2
             grow = off + jnp.arange(n_local, dtype=jnp.int32)      # (Nl,)
@@ -774,34 +716,28 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
 
             Kmask = Kb * (iota[:, None] > rowT[None, :]
                           )[:, :, None, None].astype(Kb.dtype)
-            HSmask = HSfull * (iota[:, None] > colT[None, :]
-                               )[:, :, None, None].astype(HSfull.dtype)
+            HSmask = HSb * (iota[:, None] > colT[None, :]
+                            )[:, :, None, None].astype(HSb.dtype)
+            sub = jnp.einsum("inpq,imrq->npmr", Kmask, HSmask,
+                             precision=PRECISION)                 # grid-shaped
 
-            # the grid pass runs ENTIRELY in flat (2Nl, 2N) space — the
-            # same layout-padding rule as mm0_flat above: every grid-shaped
-            # operand is 2D with large dims, so no op in the pass (gather,
-            # select, matmul) can acquire a lane-padded layout. The XLA
-            # schedule and the Pallas kernel share identical operands
-            # (ops/pallas/grid_update.py).
-            cov_flat = st1.cov_mm.reshape(2 * n_local, 2 * N)
-            a_flat = jnp.transpose(Kmask, (1, 2, 0, 3)
-                                   ).reshape(2 * n_local, 2 * M)
-            b_flat = jnp.transpose(HSmask, (0, 3, 1, 2)
-                                   ).reshape(2 * M, 2 * N)
-            crow = CRfull.reshape(2 * M, 2 * N)
-            ccol = jnp.transpose(CRb, (2, 3, 0, 1)
-                                 ).reshape(2 * n_local, 2 * M)
-            rowt2 = jnp.repeat(rowT, 2)
-            colt2 = jnp.repeat(colT, 2)
-            if grid_kernel:
-                cov = _gu.fused_grid_update(
-                    cov_flat, a_flat, b_flat, crow, ccol, rowt2, colt2,
-                    interpret=kernel_interpret)
-            else:
-                from ..ops.pallas.grid_update import reference_grid_update
-                cov = reference_grid_update(
-                    cov_flat, a_flat, b_flat, crow, ccol, rowt2, colt2)
-            return st1._replace(cov_mm=cov.reshape(n_local, 2, N, 2))
+            rT = jnp.maximum(rowT, 0)
+            cT = jnp.maximum(colT, 0)
+            row_over = CRb[rT]                                    # (Nl,2,N,2)
+            cr_loc = jax.lax.dynamic_slice_in_dim(
+                CRb, off, n_local, axis=2)                        # (M,2,Nl,2)
+            col_over = jnp.transpose(cr_loc[cT], (2, 3, 0, 1))    # (Nl,2,N,2)
+            b_diag = Bb[rT][:, :, None, :]                        # (Nl,2,1,2)
+            t_n = rowT[:, None, None, None]
+            t_m = colT[None, None, :, None]
+            base = jnp.where(
+                t_n > t_m, row_over,
+                jnp.where(t_m > t_n, col_over,
+                          jnp.where(t_n >= 0,
+                                    jnp.broadcast_to(
+                                        b_diag, st1.cov_mm.shape),
+                                    st1.cov_mm)))
+            return st1._replace(cov_mm=base - sub)
 
         if known:
             return jax.vmap(one)(st, twist, zs, valid, ids)
@@ -814,30 +750,21 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
 
 
 def make_sharded_deferred_step(config: EKFConfig, mesh: Mesh, batch: int,
-                               max_meas: int, grid_kernel: bool = False,
-                               kernel_interpret: bool = False):
+                               max_meas: int):
     """Known-association deferred tick: semantics of
     :func:`make_sharded_step`, one grid pass per tick (see
-    :func:`_make_sharded_deferred`). ``grid_kernel=True`` runs the grid
-    pass as the fused Pallas kernel (f32, lane-aligned shapes)."""
-    return _make_sharded_deferred(config, mesh, batch, max_meas, known=True,
-                                  grid_kernel=grid_kernel,
-                                  kernel_interpret=kernel_interpret)
+    :func:`_make_sharded_deferred`)."""
+    return _make_sharded_deferred(config, mesh, batch, max_meas, known=True)
 
 
 def make_sharded_deferred_unknown_step(config: EKFConfig, mesh: Mesh,
-                                       batch: int, max_meas: int,
-                                       grid_kernel: bool = False,
-                                       kernel_interpret: bool = False):
+                                       batch: int, max_meas: int):
     """Unknown-association deferred tick: semantics of
     :func:`make_sharded_unknown_step` (reference first-hit Mahalanobis
     gating, PARITY P2/P5), one grid pass per tick. Association scores
     against a sequentially-carried own-block diagonal strip instead of
-    reading the grid. ``grid_kernel`` as in
-    :func:`make_sharded_deferred_step`."""
-    return _make_sharded_deferred(config, mesh, batch, max_meas, known=False,
-                                  grid_kernel=grid_kernel,
-                                  kernel_interpret=kernel_interpret)
+    reading the grid."""
+    return _make_sharded_deferred(config, mesh, batch, max_meas, known=False)
 
 
 def make_sharded_unknown_step(config: EKFConfig, mesh: Mesh, batch: int,
