@@ -34,23 +34,27 @@ def _free_port():
     return port
 
 
-def test_two_process_cluster():
+def _spawn_workers(extra_args=()):
     port = _free_port()
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""   # never open a TPU tunnel from workers
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
-    procs = [
+    return [
         subprocess.Popen(
-            [sys.executable, WORKER, str(pid), "2", str(port)],
+            [sys.executable, WORKER, str(pid), "2", str(port),
+             *map(str, extra_args)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True, cwd=HERE)
         for pid in range(2)
     ]
+
+
+def _wait_ok(procs, marker, timeout=540):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=540)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out)
     finally:
         for p in procs:
@@ -58,4 +62,49 @@ def test_two_process_cluster():
                 p.kill()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out}"
-        assert f"pid={pid} MULTIHOST_OK" in out, out
+        assert f"pid={pid} {marker}" in out, out
+
+
+def test_two_process_cluster():
+    _wait_ok(_spawn_workers(), "MULTIHOST_OK")
+
+
+def test_two_process_cluster_config4_scale():
+    """Deferred blocked step at N=2048/M=8 across the process boundary —
+    the per-tick O(MN) strip all_gathers at representative config-4 sizes
+    (VERDICT r02 item 5)."""
+    _wait_ok(_spawn_workers(["bign"]), "MULTIHOST_BIGN_OK")
+
+
+def test_two_process_checkpoint_restart(tmp_path):
+    """Failure recovery across jax.distributed (SURVEY §5 failure-recovery
+    row): both workers write a sharded checkpoint mid-run, are KILLED while
+    still computing, and a fresh cluster restores and finishes the rollout
+    bitwise-identical to an uninterrupted run."""
+    import time
+
+    save_dir = str(tmp_path)
+    procs = _spawn_workers(["ckpt_save", save_dir])
+    try:
+        deadline = time.time() + 300
+        want = {os.path.join(save_dir, f"saved.{pid}") for pid in range(2)}
+        while time.time() < deadline:
+            if all(os.path.exists(f) for f in want):
+                break
+            if any(p.poll() is not None for p in procs):
+                raise AssertionError(
+                    "ckpt_save worker exited early:\n"
+                    + "\n".join(p.communicate()[0] for p in procs
+                                if p.poll() is not None))
+            time.sleep(0.5)
+        else:
+            raise AssertionError("checkpoint files never appeared")
+        # both checkpoints written; kill the cluster mid-run (exact PIDs)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p in procs:
+        p.wait(timeout=60)
+
+    _wait_ok(_spawn_workers(["ckpt_resume", save_dir]), "MULTIHOST_CKPT_OK")
