@@ -67,6 +67,41 @@ def run(n_devices: int) -> None:
     jax.block_until_ready(out3)
     assert bool(jnp.isfinite(out3.mean_r).all())
 
+    # deferred step through the FUSED GRID KERNEL (interpret mode off-TPU):
+    # the production config-4 grid pass. Needs lane-aligned shapes
+    # (2N % 128, 2*n_local % 8) -> a separate capacity N=64*ceil stays tiny.
+    Nk = max(64, 64 * n_map // 4)
+    while Nk % n_map:
+        Nk += 64
+    kcfg = EKFConfig(num_landmarks=Nk)
+    kstep = blocked_ekf.make_sharded_deferred_step(
+        kcfg, m, B, M, grid_kernel=True,
+        kernel_interpret=jax.default_backend() != "tpu")
+    kstate = blocked_ekf.init(kcfg, B)
+    kstate = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, NamedSharding(m, s)), kstate, specs)
+    outk = kstep(kstate, twist, zs, valid, ids, Q, R)
+    jax.block_until_ready(outk)
+    assert int(outk.n_seen[0]) == M
+    assert bool(jnp.isfinite(outk.mean_r).all())
+
+    # PP staged pipeline (the reference's tube_world -> landmarks -> slam
+    # topic pipeline as a 2-stage 'pp' mesh; unknown_data_assoc.launch:4-21)
+    from jax.sharding import Mesh as _Mesh
+
+    import numpy as _np
+
+    from ..pipeline.config import get_scenario
+    from ..pipeline.staged import make_staged_rollout
+
+    if len(devices) >= 2:
+        pp_mesh = _Mesh(_np.array(devices[:2]), ("pp",))
+        scn = get_scenario("loop5_known")
+        outs = make_staged_rollout(scn, pp_mesh)(jax.random.PRNGKey(0), 8)
+        jax.block_until_ready(outs)
+        assert bool(jnp.isfinite(outs.slam_pose).all())
+        assert int(outs.n_seen[-1]) > 0
+
     # config-5 path: pose-graph loop closure + distributed Schur refinement
     from . import megamap
     _, refined = megamap.run_megamap(
@@ -76,4 +111,5 @@ def run(n_devices: int) -> None:
     assert bool(jnp.isfinite(refined.poses).all())
 
     print(f"dryrun_multichip OK: mesh={dict(m.shape)} B={B} N={N} M={M} "
-          f"(blocked known/unknown EKF + pose graph + sharded Schur)")
+          f"(blocked known/unknown EKF + deferred grid-kernel[interpret "
+          f"Nk={Nk}] + PP staged pipeline + pose graph + sharded Schur)")
