@@ -129,13 +129,18 @@ def main():
     micro = grid_kernel_micro()
     log(str(micro))
 
+    # NOTE: no grid-kernel rows at N=8192 — the kernel's flat operand layout
+    # forces a relayout copy whose tile-padded intermediate
+    # (f32[1,8192,2,8192,2]{T(8,128)}, 64 GiB) OOMs the 16 GB chip; measured
+    # in the r03 session, which is why production auto-routes to XLA
+    # (parallel/bigmap._resolve_grid_kernel).
     matrix = [
         (2048, False, True, False), (2048, False, True, True),
         (2048, False, False, False),
         (2048, True, True, False), (2048, True, True, True),
         (2048, True, False, False),
-        (8192, False, True, False), (8192, False, True, True),
-        (8192, True, True, True),
+        (8192, False, True, False), (8192, True, True, False),
+        (8192, False, False, False),
     ]
     for N, unknown, deferred, gk in matrix:
         T = 50 if N == 2048 else 20

@@ -64,15 +64,19 @@ def _true_pose(cmd, t, dtype):
 
 def _resolve_grid_kernel(grid_kernel, cfg: EKFConfig, mesh: Mesh,
                          dtype) -> bool:
-    """``None`` -> auto: use the fused Pallas grid pass exactly when it is
-    supported (TPU backend, f32, lane-aligned local grid)."""
+    """``None`` -> auto: the XLA grid pass. MEASURED decision (r03 chip
+    session, bench_config4_matrix): in production the Pallas kernel costs a
+    per-tick physical relayout of the (N,2,N,2) grid into its flat operand
+    layout — the minor dim-2 tile-pads to 128 (64x), 27 vs 121 ticks/s at
+    N=2048 and a 64 GiB OOM at N=8192 — and even copy-free in isolation it
+    streams 45.6 GB/s vs the session's 102 GB/s ceiling, no better than
+    XLA's fused schedule, which already runs the N=8192 tick at the stream
+    ceiling (105 GB/s physical). The kernel remains available explicitly
+    (``grid_kernel=True``) for benchmarking and as the 2-pass-floor
+    reference; production takes the XLA schedule."""
     if grid_kernel is not None:
         return bool(grid_kernel)
-    from ..ops.pallas.grid_update import grid_shapes_supported
-    N = cfg.num_landmarks
-    n_local = N // mesh.shape["map"]
-    return (jax.default_backend() == "tpu" and dtype == jnp.float32
-            and grid_shapes_supported(2 * n_local, 2 * N))
+    return False
 
 
 def make_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int,
