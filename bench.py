@@ -27,15 +27,31 @@ SCENARIO = "loop5_known"
 BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
 
 
-def measure_cpp():
+def measure_cpp(runs=5):
+    """Median-of-N C++ baseline with the spread recorded: the shared-box
+    CPU number swings run to run (r01 67.6k, r02 82.4k), and quoting point
+    values made vs_baseline look like it moved when the TPU number was
+    flat. The median + spread is the honest comparison row."""
     if not os.path.exists(BASELINE_BIN):
         subprocess.run(["make"], cwd=BASELINE_DIR, check=True,
                        capture_output=True)
-    out = subprocess.run(
-        [BASELINE_BIN, "--scenario", SCENARIO, "--deterministic",
-         "--repeat", "5"],
-        check=True, capture_output=True, text=True)
-    return json.loads(out.stdout.strip())
+    samples = []
+    ate = None
+    for _ in range(runs):
+        out = subprocess.run(
+            [BASELINE_BIN, "--scenario", SCENARIO, "--deterministic",
+             "--repeat", "5"],
+            check=True, capture_output=True, text=True)
+        r = json.loads(out.stdout.strip())
+        samples.append(r["ticks_per_sec"])
+        ate = r["ate"]
+    samples.sort()
+    return {
+        "ticks_per_sec": samples[len(samples) // 2],
+        "ticks_per_sec_min": samples[0],
+        "ticks_per_sec_max": samples[-1],
+        "ate": ate,
+    }
 
 
 def measure_tpu():
@@ -76,6 +92,8 @@ def main():
         "unit": "ticks/s",
         "vs_baseline": round(tpu_ticks / cpp["ticks_per_sec"], 2),
         "baseline_ticks_per_sec": cpp["ticks_per_sec"],
+        "baseline_spread": [cpp["ticks_per_sec_min"],
+                            cpp["ticks_per_sec_max"]],
         "batch": BATCH,
         "scenario": SCENARIO,
         "tpu_ate_m": round(tpu_ate, 6),

@@ -81,7 +81,8 @@ def _resolve_grid_kernel(grid_kernel, cfg: EKFConfig, mesh: Mesh,
 
 def make_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int,
                 deferred: bool = True, grid_kernel: bool | None = None,
-                dtype=jnp.float32, donate: bool = False):
+                dtype=jnp.float32, donate: bool = False,
+                meas_unroll: bool = False):
     """Build ``run(state, workload, Q, R, t0, ticks) -> state`` jitted over
     the mesh: generates measurements on device and applies the sharded
     blocked step ``ticks`` times via lax.scan.
@@ -97,7 +98,8 @@ def make_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int,
     if deferred:
         step = blocked_ekf.make_sharded_deferred_step(
             cfg, mesh, batch, M,
-            grid_kernel=_resolve_grid_kernel(grid_kernel, cfg, mesh, dtype))
+            grid_kernel=_resolve_grid_kernel(grid_kernel, cfg, mesh, dtype),
+            meas_unroll=meas_unroll)
     else:
         step = blocked_ekf.make_sharded_step(cfg, mesh, batch, M)
 
@@ -133,7 +135,7 @@ def make_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int,
 def make_unknown_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int,
                         deferred: bool = True,
                         grid_kernel: bool | None = None, dtype=jnp.float32,
-                        donate: bool = False):
+                        donate: bool = False, meas_unroll: bool = False):
     """Like :func:`make_runner` but with UNKNOWN association: every
     measurement is gated by the blockwise-distributed Mahalanobis first-hit
     scan instead of carrying its landmark id — the config-4 workload at the
@@ -144,7 +146,8 @@ def make_unknown_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int,
     if deferred:
         step = blocked_ekf.make_sharded_deferred_unknown_step(
             cfg, mesh, batch, M,
-            grid_kernel=_resolve_grid_kernel(grid_kernel, cfg, mesh, dtype))
+            grid_kernel=_resolve_grid_kernel(grid_kernel, cfg, mesh, dtype),
+            meas_unroll=meas_unroll)
     else:
         step = blocked_ekf.make_sharded_unknown_step(cfg, mesh, batch, M)
 

@@ -436,7 +436,8 @@ def make_sharded_step(config: EKFConfig, mesh: Mesh, batch: int,
 def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
                            max_meas: int, known: bool,
                            grid_kernel: bool = False,
-                           kernel_interpret: bool = False):
+                           kernel_interpret: bool = False,
+                           meas_unroll: bool = False):
     """SLAM tick with a DEFERRED landmark-grid update (known or unknown
     association; see the public wrappers below).
 
@@ -747,7 +748,7 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
             (st1_out, bufs, _, _, _), _ = jax.lax.scan(
                 body,
                 (st1_scan, bufs0, diag0, jnp.bool_(False), jnp.int32(0)),
-                xs)
+                xs, unroll=meas_unroll)
             st1 = st1_out._replace(cov_mm=cov_mm0)
             Kb, HSb, CRb, gb, kb = bufs
 
@@ -815,20 +816,23 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
 
 def make_sharded_deferred_step(config: EKFConfig, mesh: Mesh, batch: int,
                                max_meas: int, grid_kernel: bool = False,
-                               kernel_interpret: bool = False):
+                               kernel_interpret: bool = False,
+                               meas_unroll: bool = False):
     """Known-association deferred tick: semantics of
     :func:`make_sharded_step`, one grid pass per tick (see
     :func:`_make_sharded_deferred`). ``grid_kernel=True`` runs the grid
     pass as the fused Pallas kernel (f32, lane-aligned shapes)."""
     return _make_sharded_deferred(config, mesh, batch, max_meas, known=True,
                                   grid_kernel=grid_kernel,
-                                  kernel_interpret=kernel_interpret)
+                                  kernel_interpret=kernel_interpret,
+                                  meas_unroll=meas_unroll)
 
 
 def make_sharded_deferred_unknown_step(config: EKFConfig, mesh: Mesh,
                                        batch: int, max_meas: int,
                                        grid_kernel: bool = False,
-                                       kernel_interpret: bool = False):
+                                       kernel_interpret: bool = False,
+                                       meas_unroll: bool = False):
     """Unknown-association deferred tick: semantics of
     :func:`make_sharded_unknown_step` (reference first-hit Mahalanobis
     gating, PARITY P2/P5), one grid pass per tick. Association scores
@@ -837,7 +841,8 @@ def make_sharded_deferred_unknown_step(config: EKFConfig, mesh: Mesh,
     :func:`make_sharded_deferred_step`."""
     return _make_sharded_deferred(config, mesh, batch, max_meas, known=False,
                                   grid_kernel=grid_kernel,
-                                  kernel_interpret=kernel_interpret)
+                                  kernel_interpret=kernel_interpret,
+                                  meas_unroll=meas_unroll)
 
 
 def make_sharded_unknown_step(config: EKFConfig, mesh: Mesh, batch: int,
