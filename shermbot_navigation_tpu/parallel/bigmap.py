@@ -79,10 +79,29 @@ def _resolve_grid_kernel(grid_kernel, cfg: EKFConfig, mesh: Mesh,
     return False
 
 
+def _resolve_seq_kernel(seq_kernel, mesh: Mesh, batch: int, dtype) -> bool:
+    """``None`` -> auto: the fused Pallas measurement-scan kernel
+    (ops/pallas/seq_scan.py) on a real TPU backend when its routing
+    constraints hold — single 'map' shard, one batch element per 'data'
+    shard, f32. The XLA scan lowering is launch-bound (~280 ops per
+    measurement, benchmarks/dump_deferred_hlo.py); the kernel runs the
+    whole scan in VMEM. Multi-shard meshes keep the XLA scan — its psums
+    and once-per-tick all_gathers are the multi-chip comm design."""
+    if seq_kernel is not None:
+        return bool(seq_kernel)
+    if mesh.shape["map"] != 1 or batch != mesh.shape["data"]:
+        return False
+    if dtype != jnp.float32:
+        return False
+    return jax.devices()[0].platform not in ("cpu",)
+
+
 def make_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int,
                 deferred: bool = True, grid_kernel: bool | None = None,
                 dtype=jnp.float32, donate: bool = False,
-                meas_unroll: bool = False):
+                meas_unroll: bool = False,
+                seq_kernel: bool | None = None,
+                seq_interpret: bool = False):
     """Build ``run(state, workload, Q, R, t0, ticks) -> state`` jitted over
     the mesh: generates measurements on device and applies the sharded
     blocked step ``ticks`` times via lax.scan.
@@ -99,7 +118,9 @@ def make_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int,
         step = blocked_ekf.make_sharded_deferred_step(
             cfg, mesh, batch, M,
             grid_kernel=_resolve_grid_kernel(grid_kernel, cfg, mesh, dtype),
-            meas_unroll=meas_unroll)
+            meas_unroll=meas_unroll,
+            seq_kernel=_resolve_seq_kernel(seq_kernel, mesh, batch, dtype),
+            seq_interpret=seq_interpret)
     else:
         step = blocked_ekf.make_sharded_step(cfg, mesh, batch, M)
 
@@ -135,7 +156,9 @@ def make_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int,
 def make_unknown_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int,
                         deferred: bool = True,
                         grid_kernel: bool | None = None, dtype=jnp.float32,
-                        donate: bool = False, meas_unroll: bool = False):
+                        donate: bool = False, meas_unroll: bool = False,
+                        seq_kernel: bool | None = None,
+                        seq_interpret: bool = False):
     """Like :func:`make_runner` but with UNKNOWN association: every
     measurement is gated by the blockwise-distributed Mahalanobis first-hit
     scan instead of carrying its landmark id — the config-4 workload at the
@@ -147,7 +170,9 @@ def make_unknown_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int,
         step = blocked_ekf.make_sharded_deferred_unknown_step(
             cfg, mesh, batch, M,
             grid_kernel=_resolve_grid_kernel(grid_kernel, cfg, mesh, dtype),
-            meas_unroll=meas_unroll)
+            meas_unroll=meas_unroll,
+            seq_kernel=_resolve_seq_kernel(seq_kernel, mesh, batch, dtype),
+            seq_interpret=seq_interpret)
     else:
         step = blocked_ekf.make_sharded_unknown_step(cfg, mesh, batch, M)
 

@@ -369,6 +369,100 @@ def _associate_shard(config, st, z, R, n_local, Smm=None):
     return any_hit, first_safe, d_first
 
 
+class _SeqComp(NamedTuple):
+    """Per-measurement scan carry of the deferred step, component layout.
+
+    Every strip is stored with the landmark axis MINOR (lanes) and the
+    2x2/3x2 block structure unrolled into leading component rows — the
+    ops/smallalg rule applied to the batch dimension (BENCH_NOTES
+    pathology 9): a (Nl, 2, 2) array tile-pads its (2, 2) minor dims to
+    (8, 128) (64x physical HBM inflation), and the scan body materializes
+    several such strips per measurement, so the padded layout alone costs
+    ~1 ms/measurement (r03 strip probe). Component rows pad nothing.
+    """
+
+    mean_r: jnp.ndarray   # (3,)
+    mm2: jnp.ndarray      # (2, Nl)  mean_m components [p][n]
+    cov_rr: jnp.ndarray   # (3, 3)
+    rm6: jnp.ndarray      # (6, Nl)  cov_rm components [i*2+p][n]
+    n_seen: jnp.ndarray   # () int32
+    seen: jnp.ndarray     # (Nl,) bool
+
+
+def _associate_comp(config, mean_r, mm2, cov_rr, rm6, seen, z, R, n_local,
+                    diag4):
+    """:func:`_associate_shard` on component-layout strips.
+
+    Same math (psi = H5 S5 H5^T + R per landmark, Mahalanobis first-hit,
+    global pmin resolution) written as componentwise (Nl,) vector ops:
+    the (Nl, 5, 5) S5 / batched einsum form tile-pads to ~40x physical and
+    lowers to relayout-heavy tiny batched matmuls. Componentwise f32 VPU
+    ops also dodge bf16 demotion, so no Precision pin is needed.
+    ``diag4`` is the carried own-block diagonal, components [p*2+q][n].
+    """
+    shard = jax.lax.axis_index("map")
+    off = shard * n_local
+    dtype = mean_r.dtype
+
+    dx = mm2[0] - mean_r[1]
+    dy = mm2[1] - mean_r[2]
+    d = jnp.maximum(dx * dx + dy * dy, jnp.asarray(1e-12, dtype))
+    sq = jnp.sqrt(d)
+    a = dx / sq
+    b = dy / sq
+    c = dy / d
+    e = -dx / d
+    zero = jnp.zeros_like(dx)
+    one = jnp.ones_like(dx)
+    # H5 rows as 5 components each (H5 of _h5_coeffs, batched over n)
+    w = ((zero, -a, -b, a, b), (-one, c, e, -c, -e))
+
+    # u_l = S5 @ w_l, 5 components of (Nl,); psi[p,l] = w_p . u_l + R[p,l]
+    psi = [[None, None], [None, None]]
+    for l in range(2):
+        wl = w[l]
+        u = []
+        for k in range(3):
+            u.append(cov_rr[k, 0] * wl[0] + cov_rr[k, 1] * wl[1]
+                     + cov_rr[k, 2] * wl[2]
+                     + rm6[k * 2 + 0] * wl[3] + rm6[k * 2 + 1] * wl[4])
+        for p in range(2):
+            u.append(rm6[0 * 2 + p] * wl[0] + rm6[1 * 2 + p] * wl[1]
+                     + rm6[2 * 2 + p] * wl[2]
+                     + diag4[p * 2 + 0] * wl[3] + diag4[p * 2 + 1] * wl[4])
+        for p in range(2):
+            wp = w[p]
+            psi[p][l] = (wp[0] * u[0] + wp[1] * u[1] + wp[2] * u[2]
+                         + wp[3] * u[3] + wp[4] * u[4]) + R[p, l]
+    p00, p01, p10, p11 = psi[0][0], psi[0][1], psi[1][0], psi[1][1]
+    det = p00 * p11 - p01 * p10
+
+    z_hat1 = se2.normalize_angle(jnp.arctan2(dy, dx) - mean_r[0])
+    dz0 = z[0] - sq
+    dz1 = z[1] - z_hat1
+    if config.wrap_innovation:
+        dz1 = se2.normalize_angle(dz1)
+    # dz^T psi^{-1} dz with the closed-form 2x2 adjugate
+    dist = (dz0 * (p11 * dz0 - p01 * dz1)
+            + dz1 * (-p10 * dz0 + p00 * dz1)) / det
+
+    gidx = off + jnp.arange(n_local)
+    dist = jnp.where(seen, dist, jnp.inf)
+    hit_idx = jnp.where(dist < config.new_gate, gidx,
+                        jnp.iinfo(jnp.int32).max)
+    first = jax.lax.pmin(jnp.min(hit_idx), "map")
+    any_hit = first < jnp.iinfo(jnp.int32).max
+    first_safe = jnp.where(any_hit, first, 0)
+    f_loc = first_safe - off
+    f_owns = (f_loc >= 0) & (f_loc < n_local)
+    d_first = jax.lax.psum(
+        jnp.where(f_owns & any_hit,
+                  jnp.nan_to_num(dist[jnp.clip(f_loc, 0, n_local - 1)],
+                                 posinf=0.0),
+                  0.0), "map")
+    return any_hit, first_safe, d_first
+
+
 # ---------------------------------------------------------------------------
 # shard_map wiring
 # ---------------------------------------------------------------------------
@@ -437,7 +531,9 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
                            max_meas: int, known: bool,
                            grid_kernel: bool = False,
                            kernel_interpret: bool = False,
-                           meas_unroll: bool = False):
+                           meas_unroll: bool = False,
+                           seq_kernel: bool = False,
+                           seq_interpret: bool = False):
     """SLAM tick with a DEFERRED landmark-grid update (known or unknown
     association; see the public wrappers below).
 
@@ -493,6 +589,13 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
             raise ValueError(
                 f"grid_kernel needs lane-aligned shapes; got local grid "
                 f"({2 * n_local}, {2 * N})")
+    if seq_kernel and (n_map != 1 or batch != mesh.shape["data"]):
+        raise ValueError(
+            "seq_kernel (ops/pallas/seq_scan.py) runs the measurement scan "
+            "as one Pallas kernel — single 'map' shard and one batch "
+            "element per 'data' shard only; the multi-shard path keeps the "
+            f"XLA scan (got map={n_map}, batch={batch}, "
+            f"data={mesh.shape['data']})")
 
     specs = state_sharding(mesh)
     if known:
@@ -529,30 +632,45 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
             diag0 = jnp.take_along_axis(
                 cov_mm0, (off + ii_loc)[:, None, None, None],
                 axis=2)[:, :, 0, :]                  # (Nl, 2, 2) own blocks
+            # EVERYTHING the scan carries or indexes is in component-row
+            # layout (see _SeqComp): strips as (k, Nl) with the landmark
+            # axis on lanes. diag comps [p*2+q][n]; rm comps [i*2+p][n].
+            diag4 = jnp.transpose(diag0, (1, 2, 0)).reshape(4, n_local)
+            s0 = _SeqComp(
+                mean_r=st1.mean_r,
+                mm2=st1.mean_m.T,
+                cov_rr=st1.cov_rr,
+                rm6=jnp.transpose(st1.cov_rm, (0, 2, 1)).reshape(6, n_local),
+                n_seen=st1.n_seen,
+                seen=st1.seen)
 
-            # op-history buffers — ALL SHARD-LOCAL (HSbuf: local rows of
-            # Sigma H^T per update; CRbuf: local columns of the init cross
-            # strip, own column pre-patched with B_own). Global strips are
-            # assembled by two all_gathers once per tick, at the grid pass.
-            Kbuf = jnp.zeros((M, n_local, 2, 2), dtype)
-            HSbuf = jnp.zeros((M, n_local, 2, 2), dtype)
-            CRbuf = jnp.zeros((M, 2, n_local, 2), dtype)
+            # op-history buffers — ALL SHARD-LOCAL and component-laid-out
+            # (Kbuf/HSbuf: local rows of the Kalman gain / Sigma H^T per
+            # update, comps [p*2+q][n]; CRbuf: local columns of the init
+            # cross strip, own column pre-patched with B_own). Global
+            # strips are assembled by two all_gathers once per tick, at
+            # the grid pass.
+            Kbuf = jnp.zeros((M, 4, n_local), dtype)
+            HSbuf = jnp.zeros((M, 4, n_local), dtype)
+            CRbuf = jnp.zeros((M, 4, n_local), dtype)
             gbuf = jnp.zeros((M,), jnp.int32)
             kindbuf = jnp.zeros((M,), jnp.int32)     # 0 none / 1 update / 2 init
 
             def col_at(bufs, j, g):
-                """Grid column g (local rows, (Nl,2,2)) after ops 0..j-1."""
+                """Grid column g (local rows, comps (4, Nl)) after ops
+                0..j-1."""
                 Kb, HSb, CRb, gb, kb = bufs
-                col = jax.lax.dynamic_index_in_dim(
-                    mm0_flat, g, axis=0, keepdims=False
-                ).reshape(n_local, 2, 2)
+                colb = jax.lax.dynamic_index_in_dim(
+                    mm0_flat, g, axis=0, keepdims=False)
+                col = jnp.transpose(colb.reshape(n_local, 2, 2),
+                                    (1, 2, 0)).reshape(4, n_local)
                 g_loc = g - off
                 owns_g = (g_loc >= 0) & (g_loc < n_local)
                 g_safe = jnp.clip(g_loc, 0, n_local - 1).astype(jnp.int32)
                 w_own = jnp.where(owns_g, 1.0, 0.0).astype(dtype)
                 # column-g packets of every buffered op, in ONE batched
-                # owner-broadcast each: (M, 2, 2) = O(M) bytes, not O(N)
-                hs_g = jax.lax.psum(w_own * HSb[:, g_safe], "map")
+                # owner-broadcast each: (M, 4) = O(M) bytes, not O(N)
+                hs_g = jax.lax.psum(w_own * HSb[:, :, g_safe], "map")
                 cr_g = jax.lax.psum(w_own * CRb[:, :, g_safe], "map")
                 rows = jnp.arange(n_local, dtype=jnp.int32)
                 for i in range(M):
@@ -560,20 +678,26 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
                     is_upd = past & (kb[i] == 1)
                     is_init = past & (kb[i] == 2)
                     s_i = gb[i]
-                    # rank-2 subtraction on this column
-                    corr = jnp.einsum("npq,rq->npr", Kb[i], hs_g[i],
-                                      precision=PRECISION)
+                    # rank-2 subtraction on this column:
+                    # corr[p,r] = K[p,0] hs[r,0] + K[p,1] hs[r,1]
+                    k00, k01, k10, k11 = Kb[i, 0], Kb[i, 1], Kb[i, 2], Kb[i, 3]
+                    h00, h01, h10, h11 = (hs_g[i, 0], hs_g[i, 1],
+                                          hs_g[i, 2], hs_g[i, 3])
+                    corr = jnp.stack([
+                        k00 * h00 + k01 * h01, k00 * h10 + k01 * h11,
+                        k10 * h00 + k11 * h01, k10 * h10 + k11 * h11])
                     col = jnp.where(is_upd, col - corr, col)
                     # init at slot s_i == g: whole column overwritten with
-                    # the cross strip's local columns, transposed (the own
-                    # diagonal block is pre-patched into CRbuf)
-                    over = jnp.transpose(CRb[i], (1, 2, 0))    # (Nl, 2, 2)
+                    # the cross strip's local columns — comp (p,q) of the
+                    # column is comp (q,p) of the stored cross strip (the
+                    # own diagonal block is pre-patched into CRbuf)
+                    over = CRb[i][jnp.array([0, 2, 1, 3])]       # (4, Nl)
                     col = jnp.where(is_init & (s_i == g), over, col)
                     # init at another slot: row s_i of this column becomes
                     # the cross strip's column g (if s_i is a local row)
-                    hit_row = (rows == (s_i - off))[:, None, None]
+                    hit_row = (rows == (s_i - off))[None, :]
                     col = jnp.where(is_init & (s_i != g) & hit_row,
-                                    cr_g[i][None], col)
+                                    cr_g[i][:, None], col)
                 return col
 
             def body(carry, inp):
@@ -599,8 +723,9 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
                     # reference first-hit gating against the CARRIED own-
                     # block diagonal (the grid itself is never read here)
                     act = v & ~stopped
-                    any_hit, first, d_first = _associate_shard(
-                        config, s, z, R, n_local, Smm=diag)
+                    any_hit, first, d_first = _associate_comp(
+                        config, s.mean_r, s.mm2, s.cov_rr, s.rm6, s.seen,
+                        z, R, n_local, diag)
                     no_seen = s.n_seen == 0
                     cap_full = s.n_seen >= N
                     first_match = d_first < config.match_gate
@@ -615,50 +740,55 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
                     owns = (g_loc >= 0) & (g_loc < n_local)
                     g_safe = jnp.clip(g_loc, 0, n_local - 1).astype(jnp.int32)
 
+                w_own = jnp.where(owns, 1.0, 0.0).astype(dtype)
                 # ---- measurement geometry off the sequential means ----
-                mj = jax.lax.psum(
-                    jnp.where(owns, 1.0, 0.0) * jax.lax.dynamic_index_in_dim(
-                        s.mean_m, g_safe, axis=0, keepdims=False), "map")
-                H5, z_hat = _h5_coeffs(s.mean_r, mj, s.mean_r.dtype)
+                mj = jax.lax.psum(w_own * s.mm2[:, g_safe], "map")   # (2,)
+                H5, z_hat = _h5_coeffs(s.mean_r, mj, dtype)
                 dz = z - z_hat
                 if config.wrap_innovation:
                     dz = dz.at[1].set(se2.normalize_angle(dz[1]))
 
                 # ---- UPDATE branch: gains from strips + reconstructed col
-                rm_j = jax.lax.psum(
-                    jnp.where(owns, 1.0, 0.0) * jax.lax.dynamic_index_in_dim(
-                        s.cov_rm, g_safe, axis=1, keepdims=False), "map")
+                rm_j = jax.lax.psum(w_own * s.rm6[:, g_safe],
+                                    "map").reshape(3, 2)
                 SHt_r = jnp.matmul(
                     jnp.concatenate([s.cov_rr, rm_j], axis=1), H5.T,
                     precision=PRECISION)                          # (3, 2)
-                mm_colj = col_at(bufs, j, g)                      # (Nl, 2, 2)
-                cov_mr = jnp.transpose(s.cov_rm, (1, 2, 0))       # (Nl, 2, 3)
-                cols5_m = jnp.concatenate([cov_mr, mm_colj], axis=-1)
-                SHt_m = jnp.einsum("npk,qk->npq", cols5_m, H5,
-                                   precision=PRECISION)           # (Nl, 2, 2)
-                SHt_j = jax.lax.psum(
-                    jnp.where(owns, 1.0, 0.0) * jax.lax.dynamic_index_in_dim(
-                        SHt_m, g_safe, axis=0, keepdims=False), "map")
+                col4 = col_at(bufs, j, g)                         # (4, Nl)
+                # SHt comps s4[p*2+q] = sum_k cols5[p,k] H5[q,k] where
+                # cols5[p, k<3] = rm6[k*2+p] and cols5[p, 3+t] = col4[p*2+t]
+                s4 = jnp.stack([
+                    s.rm6[0 + p] * H5[q, 0] + s.rm6[2 + p] * H5[q, 1]
+                    + s.rm6[4 + p] * H5[q, 2]
+                    + col4[p * 2 + 0] * H5[q, 3] + col4[p * 2 + 1] * H5[q, 4]
+                    for p in range(2) for q in range(2)])          # (4, Nl)
+                SHt_j = jax.lax.psum(w_own * s4[:, g_safe],
+                                     "map").reshape(2, 2)
                 psi = jnp.matmul(
                     H5, jnp.concatenate([SHt_r, SHt_j], axis=0),
                     precision=PRECISION) + R
                 psi_inv = _inv2x2(psi)
                 K_r = jnp.matmul(SHt_r, psi_inv, precision=PRECISION)
-                K_m = jnp.einsum("npq,qr->npr", SHt_m, psi_inv,
-                                 precision=PRECISION)
+                # gain comps k4[p*2+r] = s4[p*2+0] psi_inv[0,r]
+                #                      + s4[p*2+1] psi_inv[1,r]
+                k4 = jnp.stack([
+                    s4[p * 2 + 0] * psi_inv[0, r] + s4[p * 2 + 1] * psi_inv[1, r]
+                    for p in range(2) for r in range(2)])          # (4, Nl)
 
                 upd_mean_r = s.mean_r + jnp.matmul(K_r, dz,
                                                    precision=PRECISION)
                 upd_mean_r = upd_mean_r.at[0].set(
                     se2.normalize_angle(upd_mean_r[0]))
-                upd_mean_m = s.mean_m + jnp.einsum(
-                    "npq,q->np", K_m, dz, precision=PRECISION)
+                upd_mm2 = s.mm2 + jnp.stack([k4[0] * dz[0] + k4[1] * dz[1],
+                                             k4[2] * dz[0] + k4[3] * dz[1]])
                 upd_cov_rr = s.cov_rr - jnp.matmul(K_r, SHt_r.T,
                                                    precision=PRECISION)
                 if config.symmetrize:
                     upd_cov_rr = 0.5 * (upd_cov_rr + upd_cov_rr.T)
-                upd_cov_rm = s.cov_rm - jnp.einsum(
-                    "iq,npq->inp", K_r, SHt_m, precision=PRECISION)
+                # rm6[i*2+p] -= K_r[i,0] s4[p*2+0] + K_r[i,1] s4[p*2+1]
+                upd_rm6 = s.rm6 - jnp.stack([
+                    K_r[i, 0] * s4[p * 2 + 0] + K_r[i, 1] * s4[p * 2 + 1]
+                    for i in range(3) for p in range(2)])
 
                 # ---- INIT branch: strips only; grid writes buffered ----
                 th, x, y = s.mean_r[0], s.mean_r[1], s.mean_r[2]
@@ -675,11 +805,12 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
                                 jnp.stack([sa, r_ * ca])])
                 # LOCAL columns of the init cross strip — each shard holds
                 # exactly its slice of Sigma_{m_new, m_k} = Gx Sigma_{r, m_k},
-                # so NO per-measurement all_gather is needed (v1 gathered the
-                # whole (3, N, 2) strip here; the global strip is assembled
-                # once per tick at the grid pass instead)
-                cross_loc = jnp.einsum("pi,imq->pmq", Gx, s.cov_rm,
-                                       precision=PRECISION)      # (2, Nl, 2)
+                # so NO per-measurement all_gather is needed. comps
+                # cross4[p*2+q] = sum_i Gx[p,i] rm6[i*2+q]
+                cross4 = jnp.stack([
+                    Gx[p, 0] * s.rm6[0 + q] + Gx[p, 1] * s.rm6[2 + q]
+                    + Gx[p, 2] * s.rm6[4 + q]
+                    for p in range(2) for q in range(2)])           # (4, Nl)
                 B_own = (jnp.matmul(
                     jnp.matmul(Gx, s.cov_rr, precision=PRECISION), Gx.T,
                     precision=PRECISION)
@@ -688,50 +819,57 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
                 # pre-patch the own column with the own 2x2 block so both
                 # the column reconstruction and the final replay land B_own
                 # at the (slot, slot) diagonal without a separate buffer
-                cross_loc = jnp.where(
+                cross4 = jnp.where(
                     owns,
-                    jax.lax.dynamic_update_index_in_dim(
-                        cross_loc, B_own, g_safe, axis=1),
-                    cross_loc)
+                    jax.lax.dynamic_update_slice(
+                        cross4, B_own.reshape(4, 1),
+                        (jnp.int32(0), g_safe)),
+                    cross4)
                 cross_r = jnp.matmul(Gx, s.cov_rr, precision=PRECISION).T
-                ini_mean_m = jnp.where(
-                    owns, jax.lax.dynamic_update_index_in_dim(
-                        s.mean_m, m_new, g_safe, axis=0), s.mean_m)
-                ini_cov_rm = jnp.where(
-                    owns, jax.lax.dynamic_update_index_in_dim(
-                        s.cov_rm, cross_r, g_safe, axis=1), s.cov_rm)
+                ini_mm2 = jnp.where(
+                    owns, jax.lax.dynamic_update_slice(
+                        s.mm2, m_new.reshape(2, 1),
+                        (jnp.int32(0), g_safe)), s.mm2)
+                ini_rm6 = jnp.where(
+                    owns, jax.lax.dynamic_update_slice(
+                        s.rm6, cross_r.reshape(6, 1),
+                        (jnp.int32(0), g_safe)), s.rm6)
                 seen_upd = jnp.where(
                     owns, s.seen.at[g_safe].set(True), s.seen)
 
                 # ---- select sequential state ----
                 s = s._replace(
                     mean_r=jnp.where(do_update, upd_mean_r, s.mean_r),
-                    mean_m=jnp.where(do_update, upd_mean_m,
-                                     jnp.where(is_new, ini_mean_m, s.mean_m)),
+                    mm2=jnp.where(do_update, upd_mm2,
+                                  jnp.where(is_new, ini_mm2, s.mm2)),
                     cov_rr=jnp.where(do_update, upd_cov_rr, s.cov_rr),
-                    cov_rm=jnp.where(do_update, upd_cov_rm,
-                                     jnp.where(is_new, ini_cov_rm, s.cov_rm)),
+                    rm6=jnp.where(do_update, upd_rm6,
+                                  jnp.where(is_new, ini_rm6, s.rm6)),
                     n_seen=s.n_seen + is_new.astype(s.n_seen.dtype),
                     seen=jnp.where(is_new, seen_upd, s.seen))
 
                 # ---- carried own-block diagonal (association input) ----
-                diag_upd = diag - jnp.einsum(
-                    "npq,nrq->npr", K_m, SHt_m, precision=PRECISION)
+                # diag[p*2+r] -= k4[p*2+0] s4[r*2+0] + k4[p*2+1] s4[r*2+1]
+                diag_upd = diag - jnp.stack([
+                    k4[p * 2 + 0] * s4[r * 2 + 0]
+                    + k4[p * 2 + 1] * s4[r * 2 + 1]
+                    for p in range(2) for r in range(2)])
                 diag = jnp.where(do_update, diag_upd, diag)
-                hit_own = (ii_loc == g_loc)[:, None, None]
-                diag = jnp.where(is_new & hit_own, B_own[None], diag)
+                hit_own = (ii_loc == g_loc)[None, :]
+                diag = jnp.where(is_new & hit_own,
+                                 B_own.reshape(4, 1), diag)
 
                 # ---- record the op ----
                 kind = jnp.where(do_update, 1, jnp.where(is_new, 2, 0)
                                  ).astype(jnp.int32)
-                zK = jnp.where(do_update, K_m, jnp.zeros_like(K_m))
-                zHS = jnp.where(do_update, SHt_m, jnp.zeros_like(SHt_m))
+                zK = jnp.where(do_update, k4, jnp.zeros_like(k4))
+                zHS = jnp.where(do_update, s4, jnp.zeros_like(s4))
                 bufs = (
                     jax.lax.dynamic_update_index_in_dim(Kb, zK, j, axis=0),
                     jax.lax.dynamic_update_index_in_dim(HSb, zHS, j, axis=0),
                     jax.lax.dynamic_update_index_in_dim(
-                        CRb, jnp.where(is_new, cross_loc,
-                                       jnp.zeros_like(cross_loc)), j,
+                        CRb, jnp.where(is_new, cross4,
+                                       jnp.zeros_like(cross4)), j,
                         axis=0),
                     jax.lax.dynamic_update_index_in_dim(
                         gb, jnp.where(kind > 0, g, -1), j, axis=0),
@@ -741,15 +879,43 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
 
             bufs0 = (Kbuf, HSbuf, CRbuf, gbuf, kindbuf)
             xs = (zs1, va1, id1) if known else (zs1, va1)
-            # the scan body never touches the raw grid (columns come from
-            # mm0_T, association from the carried diag) — keep it OUT of
-            # the while-loop carry so layout assignment cannot relayout it
-            st1_scan = st1._replace(cov_mm=jnp.zeros((1, 1, 1, 1), dtype))
-            (st1_out, bufs, _, _, _), _ = jax.lax.scan(
-                body,
-                (st1_scan, bufs0, diag0, jnp.bool_(False), jnp.int32(0)),
-                xs, unroll=meas_unroll)
-            st1 = st1_out._replace(cov_mm=cov_mm0)
+            if seq_kernel:
+                # the whole measurement scan as ONE Pallas kernel (launch-
+                # bound otherwise: ~280 ops/measurement, see seq_scan.py).
+                # mm0c = the frozen grid, column-major comp rows, left in
+                # HBM; the kernel DMAs one 16N-byte row per measurement.
+                from ..ops.pallas import seq_scan as _sq
+                mm0c = jnp.transpose(cov_mm0, (2, 1, 3, 0)
+                                     ).reshape(N, 4, n_local)
+                (mr_o, mm2_o, crr_o, rm6_o, _diag4_o, seen_o, ns_o,
+                 KbT, HSbT, CRbT, gb_o, kb_o) = _sq.deferred_seq_scan(
+                    st1.mean_r, s0.mm2, st1.cov_rr, s0.rm6, diag4,
+                    st1.seen, st1.n_seen, mm0c, zs1, va1, id1, R,
+                    known=known, match_gate=float(config.match_gate),
+                    new_gate=float(config.new_gate),
+                    wrap_innovation=bool(config.wrap_innovation),
+                    symmetrize=bool(config.symmetrize),
+                    interpret=seq_interpret)
+                s_out = _SeqComp(mean_r=mr_o, mm2=mm2_o, cov_rr=crr_o,
+                                 rm6=rm6_o, n_seen=ns_o, seen=seen_o)
+                bufs = (KbT, HSbT, CRbT, gb_o, kb_o)
+            else:
+                # the scan body never touches the raw grid (columns come
+                # from mm0_flat, association from the carried diag) — the
+                # grid stays OUT of the while-loop carry so layout
+                # assignment cannot relayout it
+                (s_out, bufs, _, _, _), _ = jax.lax.scan(
+                    body,
+                    (s0, bufs0, diag4, jnp.bool_(False), jnp.int32(0)),
+                    xs, unroll=meas_unroll)
+            st1 = st1._replace(
+                mean_r=s_out.mean_r,
+                mean_m=s_out.mm2.T,
+                cov_rr=s_out.cov_rr,
+                cov_rm=jnp.transpose(
+                    s_out.rm6.reshape(3, 2, n_local), (0, 2, 1)),
+                n_seen=s_out.n_seen,
+                seen=s_out.seen)
             Kb, HSb, CRb, gb, kb = bufs
 
             # ---- ONE fused grid pass: overwrites + combined rank-2M ----
@@ -757,10 +923,10 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
             # H-Sigma strips and init cross strips from the shard-local
             # buffers (2 x 16*M*N bytes per tick, overlappable with the
             # mask/flatten prologue below)
-            HSfull = jax.lax.all_gather(HSb, "map", axis=1,
-                                        tiled=True)               # (M,N,2,2)
+            HSfull = jax.lax.all_gather(HSb, "map", axis=2,
+                                        tiled=True)               # (M,4,N)
             CRfull = jax.lax.all_gather(CRb, "map", axis=2,
-                                        tiled=True)               # (M,2,N,2)
+                                        tiled=True)               # (M,4,N)
 
             iota = jnp.arange(M, dtype=jnp.int32)
             is_init_op = kb == 2
@@ -774,24 +940,34 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
                                      iota[:, None], -1), axis=0)   # (N,)
 
             Kmask = Kb * (iota[:, None] > rowT[None, :]
-                          )[:, :, None, None].astype(Kb.dtype)
+                          )[:, None, :].astype(Kb.dtype)           # (M,4,Nl)
             HSmask = HSfull * (iota[:, None] > colT[None, :]
-                               )[:, :, None, None].astype(HSfull.dtype)
+                               )[:, None, :].astype(HSfull.dtype)  # (M,4,N)
 
             # the grid pass runs ENTIRELY in flat (2Nl, 2N) space — the
             # same layout-padding rule as mm0_flat above: every grid-shaped
             # operand is 2D with large dims, so no op in the pass (gather,
             # select, matmul) can acquire a lane-padded layout. The XLA
             # schedule and the Pallas kernel share identical operands
-            # (ops/pallas/grid_update.py).
+            # (ops/pallas/grid_update.py). Comp buffers [i, p*2+q, n]
+            # reshape to the kernel's parity-interleaved flats:
+            #   a[2n+p, 2i+q]  = Kmask[i, p*2+q, n]
+            #   b[2i+q, 2n+p]  = HSmask[i, p*2+q, n]
+            #   crow[2i+p, 2n+q] = CRfull[i, p*2+q, n]
+            #   ccol[2n+q, 2i+p] = CRb[i, p*2+q, n]
             cov_flat = st1.cov_mm.reshape(2 * n_local, 2 * N)
-            a_flat = jnp.transpose(Kmask, (1, 2, 0, 3)
-                                   ).reshape(2 * n_local, 2 * M)
-            b_flat = jnp.transpose(HSmask, (0, 3, 1, 2)
-                                   ).reshape(2 * M, 2 * N)
-            crow = CRfull.reshape(2 * M, 2 * N)
-            ccol = jnp.transpose(CRb, (2, 3, 0, 1)
-                                 ).reshape(2 * n_local, 2 * M)
+            a_flat = jnp.transpose(
+                Kmask.reshape(M, 2, 2, n_local), (3, 1, 0, 2)
+            ).reshape(2 * n_local, 2 * M)
+            b_flat = jnp.transpose(
+                HSmask.reshape(M, 2, 2, N), (0, 2, 3, 1)
+            ).reshape(2 * M, 2 * N)
+            crow = jnp.transpose(
+                CRfull.reshape(M, 2, 2, N), (0, 1, 3, 2)
+            ).reshape(2 * M, 2 * N)
+            ccol = jnp.transpose(
+                CRb.reshape(M, 2, 2, n_local), (3, 2, 0, 1)
+            ).reshape(2 * n_local, 2 * M)
             rowt2 = jnp.repeat(rowT, 2)
             colt2 = jnp.repeat(colT, 2)
             if grid_kernel:
@@ -804,6 +980,13 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
                     cov_flat, a_flat, b_flat, crow, ccol, rowt2, colt2)
             return st1._replace(cov_mm=cov.reshape(n_local, 2, N, 2))
 
+        if seq_kernel:
+            # local batch is exactly 1 (validated above): call `one` on the
+            # squeezed element instead of vmapping the pallas_call
+            take0 = lambda t: jax.tree_util.tree_map(lambda x_: x_[0], t)
+            out = one(take0(st), take0(twist), take0(zs), take0(valid),
+                      take0(ids) if known else None)
+            return jax.tree_util.tree_map(lambda x_: x_[None], out)
         if known:
             return jax.vmap(one)(st, twist, zs, valid, ids)
         return jax.vmap(one, in_axes=(0, 0, 0, 0, None))(
@@ -817,7 +1000,9 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
 def make_sharded_deferred_step(config: EKFConfig, mesh: Mesh, batch: int,
                                max_meas: int, grid_kernel: bool = False,
                                kernel_interpret: bool = False,
-                               meas_unroll: bool = False):
+                               meas_unroll: bool = False,
+                               seq_kernel: bool = False,
+                               seq_interpret: bool = False):
     """Known-association deferred tick: semantics of
     :func:`make_sharded_step`, one grid pass per tick (see
     :func:`_make_sharded_deferred`). ``grid_kernel=True`` runs the grid
@@ -825,14 +1010,18 @@ def make_sharded_deferred_step(config: EKFConfig, mesh: Mesh, batch: int,
     return _make_sharded_deferred(config, mesh, batch, max_meas, known=True,
                                   grid_kernel=grid_kernel,
                                   kernel_interpret=kernel_interpret,
-                                  meas_unroll=meas_unroll)
+                                  meas_unroll=meas_unroll,
+                                  seq_kernel=seq_kernel,
+                                  seq_interpret=seq_interpret)
 
 
 def make_sharded_deferred_unknown_step(config: EKFConfig, mesh: Mesh,
                                        batch: int, max_meas: int,
                                        grid_kernel: bool = False,
                                        kernel_interpret: bool = False,
-                                       meas_unroll: bool = False):
+                                       meas_unroll: bool = False,
+                                       seq_kernel: bool = False,
+                                       seq_interpret: bool = False):
     """Unknown-association deferred tick: semantics of
     :func:`make_sharded_unknown_step` (reference first-hit Mahalanobis
     gating, PARITY P2/P5), one grid pass per tick. Association scores
@@ -842,7 +1031,9 @@ def make_sharded_deferred_unknown_step(config: EKFConfig, mesh: Mesh,
     return _make_sharded_deferred(config, mesh, batch, max_meas, known=False,
                                   grid_kernel=grid_kernel,
                                   kernel_interpret=kernel_interpret,
-                                  meas_unroll=meas_unroll)
+                                  meas_unroll=meas_unroll,
+                                  seq_kernel=seq_kernel,
+                                  seq_interpret=seq_interpret)
 
 
 def make_sharded_unknown_step(config: EKFConfig, mesh: Mesh, batch: int,
