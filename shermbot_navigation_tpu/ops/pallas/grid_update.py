@@ -9,21 +9,27 @@ The deferred step (parallel/blocked_ekf.py) reduces M grid passes to one:
 
 where the replay applies each tick-buffered landmark-init's row/column
 overwrite in op order (last writer wins) and the masked rank-2M term
-subtracts every *later* Kalman update's outer product. XLA schedules this
-as (a) a (2Nl, 2M) x (2M, 2N) matmul materializing a grid-sized ``sub``
-buffer and (b) a fused select-subtract pass — i.e. ~2 reads + 2 writes of
-the grid. This kernel fuses everything into a single read + write: per row
-tile it applies the (static-M, unrolled) overwrite selects in VMEM and
-subtracts the MXU outer product before the one store — HBM traffic drops
-from ~4 to the 2-pass floor.
+subtracts every *later* Kalman update's outer product.
 
-Layout notes (see BENCH_NOTES pathologies 9/11): all operands arrive
-pre-flattened with the landmark axes on lanes — grid (2Nl, 2N), masked
-gains ``a`` (2Nl, 2M), masked H-Sigma strips ``b`` (2M, 2N), init row
-strips ``crow`` (2M, 2N), init column strips ``ccol`` (2Nl, 2M) — so the
-within-block (2, 2) structure is carried by row/column parity, handled
-in-kernel with iota-parity selects (a (TC//2, 2) lane reshape would send
-Mosaic into relayouts).
+Layout (BENCH_NOTES pathology 9, applied to the grid itself): the grid is
+stored as four COMPONENT PLANES ``(2, 2, Nl, N)`` — ``plane[p, q, n, m] =
+Sigma[(landmark n, comp p), (landmark m, comp q)]`` — so every operand of
+this pass is a large-by-large 2D array with the landmark axes on the
+(sublane, lane) tile and NO interleaved size-2 dims anywhere: no relayout
+copy can be induced by any consumer (the interleaved flat-(2Nl, 2N) form
+used through r03 forced XLA to materialize T(2,128) relayout copies —
+64x padded, ~4.3 GB per copy at N=2048 — whenever a kernel operand needed
+the other layout).
+
+Per plane (p, r) the pass is
+
+    base = replay(cov[p, r])            # row/col overwrites, last-op wins
+    out[p, r] = base - A[p] @ B[r]      # (Nl, 2M) x (2M, N) on the MXU
+
+with A[p][n, 2i+c] = masked-gain comps and B[r][2i+c, m] = masked
+H-Sigma comps — 4 small matmuls totalling the same FLOPs as the old
+single flat matmul. XLA schedules the reference below as ~2 reads +
+2 writes of the grid; the kernel fuses to the one-read one-write floor.
 """
 
 from __future__ import annotations
@@ -41,45 +47,39 @@ PREC = jax.lax.Precision.HIGHEST
 def _make_kernel(M: int):
     def kernel(cov_ref, a_ref, b_ref, crow_ref, ccol_ref, rowt_ref,
                colt_ref, out_ref):
-        base = cov_ref[:]
-        TR, TC = base.shape
-        rt = rowt_ref[:]                                       # (TR, 1)
-        ct = colt_ref[:]                                       # (1, TC)
-        # within-block component index = row/col parity (tiles are even)
-        rpar = jax.lax.broadcasted_iota(jnp.int32, (TR, 1), 0) % 2
-        cpar = jax.lax.broadcasted_iota(jnp.int32, (1, TC), 1) % 2
+        base = cov_ref[...]                                    # (TR, TC)
+        rt = rowt_ref[...]                                     # (TR, 1)
+        ct = colt_ref[...]                                     # (1, TC)
         for i in range(M):
             # column overwrite first, then row: ops replay in ascending
             # order so the LAST init touching an entry wins, and at an op's
             # own (slot, slot) block the row pass lands the exact B_own
             # (the column pass would land its 1-ulp transpose)
-            cc = ccol_ref[:, 2 * i:2 * i + 2]                  # (TR, 2)
-            cv = jnp.where(cpar == 0, cc[:, 0:1], cc[:, 1:2])  # (TR, TC)
-            base = jnp.where(ct == i, cv, base)
-            cr = crow_ref[2 * i:2 * i + 2, :]                  # (2, TC)
-            rv = jnp.where(rpar == 0, cr[0:1, :], cr[1:2, :])  # (TR, TC)
-            base = jnp.where(rt == i, rv, base)
-        out_ref[:] = base - jnp.dot(
-            a_ref[:], b_ref[:], preferred_element_type=jnp.float32,
+            base = jnp.where(ct == i, ccol_ref[:, i:i + 1], base)
+            base = jnp.where(rt == i, crow_ref[i:i + 1, :], base)
+        out_ref[...] = base - jnp.dot(
+            a_ref[...], b_ref[...], preferred_element_type=jnp.float32,
             precision=PREC)
     return kernel
 
 
 def _pick_tile(n: int, cap: int) -> int:
-    """Largest even divisor of n that is <= cap (n is even)."""
+    """Largest divisor of n that is <= cap."""
     t = min(n, cap)
-    while t > 2:
-        if n % t == 0 and t % 2 == 0:
+    while t > 1:
+        if n % t == 0:
             return t
-        t -= 2
-    return 2
+        t -= 1
+    return 1
 
 
-def grid_shapes_supported(two_nl: int, two_n: int) -> bool:
-    """The kernel wants lane-aligned flat shapes: columns a multiple of
-    128 and rows a multiple of 8 (f32 tiles). Callers fall back to the XLA
-    schedule otherwise (tiny test meshes)."""
-    return two_n % 128 == 0 and two_nl % 8 == 0
+def grid_shapes_supported(n_local: int, n: int) -> bool:
+    """PRODUCTION routing gate: lane-aligned plane shapes (columns a
+    multiple of 128, rows a multiple of 8 — full f32 tiles). The kernel
+    itself also runs smaller even shapes (Mosaic pads the tile; used by
+    interpret-mode tests and the dryrun), but padded lanes waste bandwidth
+    so auto-routing demands alignment."""
+    return n % 128 == 0 and n_local % 8 == 0
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -87,64 +87,73 @@ def fused_grid_update(cov, a, b, crow, ccol, rowt, colt,
                       interpret: bool = False):
     """One fused pass: replay init overwrites, subtract the rank-2M term.
 
-    cov  (2Nl, 2N) f32   local grid rows, flattened
-    a    (2Nl, 2M)       row-masked Kalman gains (Kmask, flattened)
-    b    (2M, 2N)        col-masked H-Sigma strips (HSmask, flattened)
-    crow (2M, 2N)        gathered init cross strips (row overwrite values)
-    ccol (2Nl, 2M)       local init cross columns (column overwrite values)
-    rowt (2Nl,) int32    per-row last-init op index (-1 = none), repeated x2
-    colt (2N,)  int32    per-column last-init op index, repeated x2
+    cov  (2, 2, Nl, N) f32  local grid rows, component planes
+    a    (2, Nl, 2M)        row-masked Kalman gain comps (A[p])
+    b    (2, 2M, N)         col-masked H-Sigma comps (B[r])
+    crow (2, 2, M, N)       gathered init cross strips, comps [p*2+r]
+                            (row overwrite values)
+    ccol (2, 2, Nl, M)      local init cross columns, comps [r*2+p]
+                            (column overwrite values, landmark-major)
+    rowt (Nl,) int32        per-row last-init op index (-1 = none)
+    colt (N,)  int32        per-column last-init op index
 
     Exact-arithmetic-equal to the XLA reference below; in f32 only the
     matmul accumulation order differs.
     """
-    R2, C2 = cov.shape
-    M2 = a.shape[1]
-    assert grid_shapes_supported(R2, C2), (R2, C2)
-    TR = _pick_tile(R2, 256)
-    TC = _pick_tile(C2, 2048)
-    grid = (R2 // TR, C2 // TC)
+    _, _, NL, N = cov.shape
+    M2 = a.shape[2]
+    M = M2 // 2
+    assert NL % 2 == 0 and N % 2 == 0, (NL, N)
+    TR = _pick_tile(NL, 256)
+    TC = _pick_tile(N, 2048)
+    grid = (2, 2, NL // TR, N // TC)
 
     return pl.pallas_call(
-        _make_kernel(M2 // 2),
+        _make_kernel(M),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TR, TC), lambda i, j: (i, j),
+            pl.BlockSpec((None, None, TR, TC),
+                         lambda p, r, i, j: (p, r, i, j),
                          memory_space=pltpu.VMEM),             # cov tile
-            pl.BlockSpec((TR, M2), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),             # Kmask rows
-            pl.BlockSpec((M2, TC), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),             # HSmask cols
-            pl.BlockSpec((M2, TC), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),             # crow cols
-            pl.BlockSpec((TR, M2), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),             # ccol rows
-            pl.BlockSpec((TR, 1), lambda i, j: (i, 0),
+            pl.BlockSpec((None, TR, M2), lambda p, r, i, j: (p, i, 0),
+                         memory_space=pltpu.VMEM),             # A[p] rows
+            pl.BlockSpec((None, M2, TC), lambda p, r, i, j: (r, 0, j),
+                         memory_space=pltpu.VMEM),             # B[r] cols
+            pl.BlockSpec((None, None, M, TC),
+                         lambda p, r, i, j: (p, r, 0, j),
+                         memory_space=pltpu.VMEM),             # crow comps
+            pl.BlockSpec((None, None, TR, M),
+                         lambda p, r, i, j: (p, r, i, 0),
+                         memory_space=pltpu.VMEM),             # ccol comps
+            pl.BlockSpec((TR, 1), lambda p, r, i, j: (i, 0),
                          memory_space=pltpu.VMEM),             # rowT
-            pl.BlockSpec((1, TC), lambda i, j: (0, j),
+            pl.BlockSpec((1, TC), lambda p, r, i, j: (0, j),
                          memory_space=pltpu.VMEM),             # colT
         ],
-        out_specs=pl.BlockSpec((TR, TC), lambda i, j: (i, j),
+        out_specs=pl.BlockSpec((None, None, TR, TC),
+                               lambda p, r, i, j: (p, r, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R2, C2), cov.dtype),
+        out_shape=jax.ShapeDtypeStruct(cov.shape, cov.dtype),
         input_output_aliases={0: 0},
         interpret=interpret,
-    )(cov, a, b, crow, ccol, rowt.reshape(R2, 1), colt.reshape(1, C2))
+    )(cov, a, b, crow, ccol, rowt.reshape(NL, 1), colt.reshape(1, N))
 
 
 def reference_grid_update(cov, a, b, crow, ccol, rowt, colt):
-    """XLA oracle for the same math (also the CPU/f64 fallback schedule)."""
-    M2 = a.shape[1]
-    rt = rowt[:, None]
-    ct = colt[None, :]
-    rpar = (jnp.arange(cov.shape[0]) % 2)[:, None]
-    cpar = (jnp.arange(cov.shape[1]) % 2)[None, :]
-    base = cov
-    for i in range(M2 // 2):
-        cc = ccol[:, 2 * i:2 * i + 2]
-        cv = jnp.where(cpar == 0, cc[:, 0:1], cc[:, 1:2])
-        base = jnp.where(ct == i, cv, base)
-        cr = crow[2 * i:2 * i + 2, :]
-        rv = jnp.where(rpar == 0, cr[0:1, :], cr[1:2, :])
-        base = jnp.where(rt == i, rv, base)
-    return base - jnp.matmul(a, b, precision=PREC)
+    """XLA oracle for the same math (also the CPU/f64 fallback schedule and
+    the production multi-shard schedule). Same operands as
+    :func:`fused_grid_update`."""
+    M = crow.shape[2]
+    rt = rowt[:, None]                                         # (Nl, 1)
+    ct = colt[None, :]                                         # (1, N)
+    outs = []
+    for p in range(2):
+        row_out = []
+        for r in range(2):
+            base = cov[p, r]
+            for i in range(M):
+                base = jnp.where(ct == i, ccol[p, r, :, i:i + 1], base)
+                base = jnp.where(rt == i, crow[p, r, i:i + 1, :], base)
+            row_out.append(base - jnp.matmul(a[p], b[r], precision=PREC))
+        outs.append(jnp.stack(row_out))
+    return jnp.stack(outs)

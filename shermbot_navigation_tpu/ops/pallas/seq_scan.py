@@ -120,14 +120,36 @@ def _make_kernel(M: int, N: int, known: bool, match_gate: float,
         gs = []
 
         def fetch_col(g):
-            """Grid column g as 4 comp rows (1, N): one 16N-byte DMA."""
+            """Grid column g as 4 comp rows (1, N).
+
+            The grid arrives as comp planes (4, N, N) in HBM; column g of
+            comp (p, q) equals ROW g of the symmetric plane (q, p) — four
+            contiguous row-block DMAs, no transpose anywhere. (Sigma is
+            symmetric by construction here: init writes mirror one cross
+            strip and the rank-2 term is K psi^-1 K^T-shaped; only psi's
+            ~1-ulp f32 asymmetry breaks it, PARITY P9.) Mosaic DMA slices
+            must be sublane-aligned, so each DMA moves the aligned 8-row
+            block containing g and a masked reduce picks the row out."""
+            swap = (0, 2, 1, 3)                # comp (p,q) <- plane (q,p)
             if interpret:
-                colbuf[...] = mm0_ref[g]
-            else:
-                copy = pltpu.make_async_copy(mm0_ref.at[g], colbuf, sem)
-                copy.start()
-                copy.wait()
-            return [colbuf[c:c + 1, :] for c in range(4)]
+                return [mm0_ref[swap[c], g][None] for c in range(4)]
+            g8 = (g // 8) * 8
+            sub = g - g8
+            for c in range(4):
+                pltpu.make_async_copy(
+                    mm0_ref.at[swap[c], pl.ds(g8, 8), :], colbuf.at[c],
+                    sem).start()
+            rid = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+            out = []
+            for c in range(4):
+                pltpu.make_async_copy(
+                    mm0_ref.at[swap[c], pl.ds(g8, 8), :], colbuf.at[c],
+                    sem).wait()
+                blk = colbuf[c]                                  # (8, N)
+                out.append(jnp.sum(
+                    jnp.where(rid == sub, blk, jnp.zeros_like(blk)),
+                    axis=0, keepdims=True))
+            return out
 
         for j in range(M):
             zj0 = zs_ref[j, 0]
@@ -395,7 +417,7 @@ def _make_kernel(M: int, N: int, known: bool, match_gate: float,
     static_argnames=("known", "match_gate", "new_gate", "wrap_innovation",
                      "symmetrize", "interpret"))
 def deferred_seq_scan(mean_r, mm2, cov_rr, rm6, diag4, seen, n_seen,
-                      mm0c, zs, valid, ids, R, *, known: bool,
+                      mm0p, zs, valid, ids, R, *, known: bool,
                       match_gate: float, new_gate: float,
                       wrap_innovation: bool, symmetrize: bool,
                       interpret: bool = False):
@@ -403,9 +425,10 @@ def deferred_seq_scan(mean_r, mm2, cov_rr, rm6, diag4, seen, n_seen,
 
     Args (single shard, single batch element; component layouts):
       mean_r (3,), mm2 (2, N), cov_rr (3, 3), rm6 (6, N), diag4 (4, N),
-      seen (N,) bool, n_seen () int32, mm0c (N, 4, N) f32 — the frozen
-      post-predict grid, column-major comp rows (stays in HBM; one row is
-      DMA'd per measurement), zs (M, 2), valid (M,) bool, ids (M,) int32
+      seen (N,) bool, n_seen () int32, mm0p (4, N, N) f32 — the frozen
+      post-predict grid comp planes, exactly as carried in BlockedState
+      (stays in HBM; four symmetric row slices are DMA'd per
+      measurement), zs (M, 2), valid (M,) bool, ids (M,) int32
       (known-association ids; ignored when known=False), R (2, 2).
 
     Returns (mean_r', mm2', cov_rr', rm6', diag4', seen', n_seen',
@@ -447,7 +470,7 @@ def deferred_seq_scan(mean_r, mm2, cov_rr, rm6, diag4, seen, n_seen,
             vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
         ],
         scratch_shapes=[
-            pltpu.VMEM((4, N), f32),
+            pltpu.VMEM((4, 8, N), f32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=bool(interpret),
@@ -464,7 +487,7 @@ def deferred_seq_scan(mean_r, mm2, cov_rr, rm6, diag4, seen, n_seen,
         rm6.astype(f32),
         diag4.astype(f32),
         seen.reshape(1, N).astype(f32),
-        mm0c.astype(f32),
+        mm0p.astype(f32),
     )
     (mean_r_o, cov_rr_o, nseen_o, gb_o, kind_o, mm2_o, rm6_o, diag4_o,
      seen_o, Kb_o, HSb_o, CRb_o) = outs

@@ -93,6 +93,10 @@ def _resolve_seq_kernel(seq_kernel, mesh: Mesh, batch: int, dtype) -> bool:
         return False
     if dtype != jnp.float32:
         return False
+    # MEASURED (r03, bench_seq_kernel.py on the chip, grid-plane state):
+    # known 8.90 -> 0.61 ms/tick (14.7x), unknown 9.11 -> 0.69 (13.2x) at
+    # N=2048, parity 1e-6. The XLA scan lowering is launch-bound (~280
+    # ops/measurement); the kernel runs the whole scan in VMEM.
     return jax.devices()[0].platform not in ("cpu",)
 
 

@@ -5,7 +5,14 @@ instead of one dense matrix (SURVEY.md section 5 "long-context" row):
 
 - ``cov_rr`` (3,3)        robot block               — replicated
 - ``cov_rm`` (3,N,2)      robot-landmark strip      — sharded over 'map'
-- ``cov_mm`` (N,2,N,2)    landmark grid             — row-sharded over 'map'
+- ``cov_mm`` (2,2,N,N)    landmark grid as four COMPONENT PLANES
+                          (``plane[p,q,n,m] = Sigma[(n,p),(m,q)]``) —
+                          row-landmark axis sharded over 'map'. Planes put
+                          both landmark axes on the (sublane, lane) tile,
+                          so no grid access can induce an interleaved
+                          size-2 minor dim and the T(2,128) relayout
+                          copies that cost ~4.3 GB each (r03 HLO audit)
+                          are impossible by construction.
 - ``mean_r`` (3,), ``mean_m`` (N,2)                 — replicated / sharded
 
 All three EKF phases then have near-perfect locality:
@@ -53,7 +60,7 @@ class BlockedState(NamedTuple):
     mean_m: jnp.ndarray   # (B, N, 2)
     cov_rr: jnp.ndarray   # (B, 3, 3)
     cov_rm: jnp.ndarray   # (B, 3, N, 2)
-    cov_mm: jnp.ndarray   # (B, N, 2, N, 2) — rows sharded, cols full
+    cov_mm: jnp.ndarray   # (B, 2, 2, N, N) comp planes — rows sharded
     n_seen: jnp.ndarray   # (B,) int32
     seen: jnp.ndarray     # (B, N) bool — per-slot init mask (see EKFState.seen)
 
@@ -65,7 +72,7 @@ def state_sharding(mesh: Mesh):
         mean_m=P("data", "map", None),
         cov_rr=P("data", None, None),
         cov_rm=P("data", None, "map", None),
-        cov_mm=P("data", "map", None, None, None),
+        cov_mm=P("data", None, None, "map", None),
         n_seen=P("data"),
         seen=P("data", "map"),
     )
@@ -78,13 +85,10 @@ def init(config: EKFConfig, batch: int, robot_pose=None, dtype=jnp.float32
     mean_r = jnp.zeros((B, 3), dtype)
     if robot_pose is not None:
         mean_r = jnp.broadcast_to(jnp.asarray(robot_pose, dtype), (B, 3))
-    # block-diagonal prior as a broadcasted product — the equivalent
-    # .at[:, ii, :, ii, :].set(diag) scatter materializes a tile-padded
-    # transposed intermediate (~32x inflation: 64 GiB at N=8192)
+    # block-diagonal prior: plane[p, q] = eye(N) * diag[p, q]
     diag = jnp.eye(2, dtype=dtype) * jnp.asarray(config.init_cov, dtype)
-    cov_mm = (jnp.eye(N, dtype=dtype)[None, :, None, :, None]
-              * diag[None, None, :, None, :])
-    cov_mm = jnp.broadcast_to(cov_mm, (B, N, 2, N, 2))
+    cov_mm = jnp.eye(N, dtype=dtype)[None, None, :, :] * diag[:, :, None, None]
+    cov_mm = jnp.broadcast_to(cov_mm[None], (B, 2, 2, N, N))
     return BlockedState(
         mean_r=mean_r,
         mean_m=jnp.zeros((B, N, 2), dtype),
@@ -168,14 +172,15 @@ def _update_shard(config, st, z, j, R, n_local):
                        precision=PRECISION)                      # (3, 2)
 
     # Sigma H^T, local map rows (Nl, 2, 2):
-    # build (Nl, 2, 5): [cov_mr (Nl,2,3), cov_mm[:, :, j, :] (Nl,2,2)]
-    # (XLA fuses the transpose+dynamic-index into a strided gather — an
-    # owner-row psum via grid symmetry was tried and measured SLOWER, and
-    # it doubles the per-update collective volume; see BENCH_NOTES.)
+    # build (Nl, 2, 5): [cov_mr (Nl,2,3), grid column j (Nl,2,2)].
+    # The column read is one lane-gather per comp plane (an owner-row psum
+    # via grid symmetry was tried and measured SLOWER, and it doubles the
+    # per-update collective volume; see BENCH_NOTES).
     cov_mr = jnp.transpose(st.cov_rm, (1, 2, 0))          # (Nl, 2, 3)
-    mm_colj = jax.lax.dynamic_index_in_dim(
-        jnp.transpose(st.cov_mm, (2, 0, 1, 3)), j, axis=0,
-        keepdims=False)                                    # (Nl, 2, 2)
+    mm_colj = jnp.transpose(
+        jax.lax.dynamic_index_in_dim(st.cov_mm, j, axis=3,
+                                     keepdims=False),
+        (2, 0, 1))                                         # (Nl, 2, 2)
     cols5_m = jnp.concatenate([cov_mr, mm_colj], axis=-1)  # (Nl, 2, 5)
     SHt_m = jnp.einsum("npk,qk->npq", cols5_m, H5,
                        precision=PRECISION)                      # (Nl, 2, 2)
@@ -210,7 +215,8 @@ def _update_shard(config, st, z, j, R, n_local):
     cov_rr = st.cov_rr - jnp.matmul(K_r, SHt_r.T, precision=PRECISION)
     cov_rm = st.cov_rm - jnp.einsum("iq,npq->inp", K_r, SHt_m,
                                     precision=PRECISION)
-    cov_mm = st.cov_mm - jnp.einsum("npq,mrq->npmr", K_m, HS_m,
+    # plane update: sub[p, r, n, m] = sum_q K_m[n, p, q] HS_m[m, r, q]
+    cov_mm = st.cov_mm - jnp.einsum("npq,mrq->prnm", K_m, HS_m,
                                     precision=PRECISION)
 
     if config.symmetrize:
@@ -261,27 +267,27 @@ def _init_landmark_shard(config, st, z, j, R, n_local):
     # 16N bytes on the wire instead of 24N.
     cross_loc = jnp.einsum("pi,imq->pmq", Gx, st.cov_rm,
                            precision=PRECISION)                    # (2, Nl, 2)
-    cross_m = jax.lax.all_gather(cross_loc, "map", axis=1,
-                                 tiled=True)                       # (2, N, 2)
-    # write owner's row block of cov_mm
+    crossc = jnp.transpose(cross_loc, (0, 2, 1))                   # (2, 2, Nl)
+    cross_m = jax.lax.all_gather(crossc, "map", axis=2,
+                                 tiled=True)                       # (2, 2, N)
+    # write owner's grid row j (contiguous per plane)
     cov_mm = jnp.where(
         owns,
-        jax.lax.dynamic_update_slice_in_dim(
-            st.cov_mm, cross_m[None], j_safe, axis=0),
+        jax.lax.dynamic_update_slice(
+            st.cov_mm, cross_m[:, :, None, :],
+            (jnp.int32(0), jnp.int32(0), j_safe, jnp.int32(0))),
         st.cov_mm)
-    # write the column block on EVERY shard: cov_mm[:, :, j, :] = cross_m^T local
-    # local rows' part of the column = (local cols of cross_m)^T.
-    # One-hot select instead of transpose/scatter/transpose: the round-trip
-    # transpose materializes two full-grid passes on TPU (BENCH_NOTES
-    # pathology 11); the select fuses into a single pass.
+    # write the column block on EVERY shard: plane[p, q, :, j] =
+    # cross_m[q, p, local rows] (comp swap by symmetry). One-hot select
+    # instead of a scatter: the select fuses into a single plane pass.
     n_l = st.mean_m.shape[0]
     local_cols = jax.lax.dynamic_slice_in_dim(
-        cross_m, shard * jnp.int32(n_l), n_l, axis=1)                        # (2, Nl, 2)
-    col_block = jnp.transpose(local_cols, (1, 2, 0))              # (Nl, 2, 2)
-    N = cov_mm.shape[2]
-    col_onehot = jnp.arange(N, dtype=jnp.int32) == j              # (N,)
-    cov_mm = jnp.where(col_onehot[None, None, :, None],
-                       col_block[:, :, None, :], cov_mm)
+        cross_m, shard * jnp.int32(n_l), n_l, axis=2)              # (2, 2, Nl)
+    col_block = jnp.transpose(local_cols, (1, 0, 2))               # (2, 2, Nl)
+    N = cov_mm.shape[3]
+    col_onehot = jnp.arange(N, dtype=jnp.int32) == j               # (N,)
+    cov_mm = jnp.where(col_onehot[None, None, None, :],
+                       col_block[:, :, :, None], cov_mm)
 
     # own 2x2 block: Gx Srr Gx^T + Gz R Gz^T (overwrites the prior diag)
     block = (jnp.matmul(jnp.matmul(Gx, st.cov_rr, precision=PRECISION),
@@ -291,8 +297,8 @@ def _init_landmark_shard(config, st, z, j, R, n_local):
     cov_mm = jnp.where(
         owns,
         jax.lax.dynamic_update_slice(
-            cov_mm, block[None, :, None, :],
-            (j_safe, jnp.int32(0), j, jnp.int32(0))),
+            cov_mm, block[:, :, None, None],
+            (jnp.int32(0), jnp.int32(0), j_safe, j)),
         cov_mm)
     return st._replace(mean_m=mean_m, cov_rm=cov_rm, cov_mm=cov_mm)
 
@@ -327,11 +333,13 @@ def _associate_shard(config, st, z, R, n_local, Smm=None):
     Srm = jnp.transpose(st.cov_rm, (1, 0, 2))        # (Nl, 3, 2)
     ii = jnp.arange(n_local)
     if Smm is None:
-        # own-block diagonal of the local grid rows: cov_mm[n, :, off+n, :],
-        # gathered along axis 2 directly (a transpose of the whole grid
-        # would materialize full-grid passes)
-        Smm = jnp.take_along_axis(
-            st.cov_mm, (off + ii)[:, None, None, None], axis=2)[:, :, 0, :]
+        # own-block diagonal of the local grid rows: plane[p, q, n, off+n],
+        # one lane-gather per comp plane
+        Smm = jnp.transpose(
+            jnp.take_along_axis(
+                st.cov_mm, (off + ii)[None, None, :, None],
+                axis=3)[:, :, :, 0],
+            (2, 0, 1))
     # (Nl, 2, 2)
 
     top = jnp.concatenate(
@@ -585,10 +593,11 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
 
     if grid_kernel:
         from ..ops.pallas import grid_update as _gu
-        if not _gu.grid_shapes_supported(2 * n_local, 2 * N):
+        if not (kernel_interpret or _gu.grid_shapes_supported(n_local, N)):
             raise ValueError(
-                f"grid_kernel needs lane-aligned shapes; got local grid "
-                f"({2 * n_local}, {2 * N})")
+                f"grid_kernel on hardware wants lane-aligned planes "
+                f"(rows %8, cols %128); got ({n_local}, {N}) — use "
+                f"kernel_interpret=True for small test shapes")
     if seq_kernel and (n_map != 1 or batch != mesh.shape["data"]):
         raise ValueError(
             "seq_kernel (ops/pallas/seq_scan.py) runs the measurement scan "
@@ -616,26 +625,22 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
         def one(st1, tw1, zs1, va1, id1):
             dtype = st1.mean_r.dtype
             st1 = _predict_shard(config, st1, tw1, Q)
-            cov_mm0 = st1.cov_mm                     # (Nl, 2, N, 2) frozen
+            cov_mm0 = st1.cov_mm                     # (2, 2, Nl, N) frozen
             shard = jax.lax.axis_index("map").astype(jnp.int32)
             off = shard * jnp.int32(n_local)
-            # FLAT column-major view of the frozen grid for the in-scan
-            # column reads. Grid-shaped intermediates must never expose a
-            # size-2 minor dim: TPU layout assignment pads the lane dim to
-            # 128 (64x -> 4.3 GB at N=2048, 64 GiB OOM at N=8192) and the
-            # padded while-carry costs 6x tick throughput — measured, see
-            # BENCH_NOTES. A (N, 4*Nl) 2D array has large dims on both
-            # axes, so no padded layout exists for XLA to pick.
-            mm0_flat = jnp.transpose(cov_mm0, (2, 0, 1, 3)
-                                     ).reshape(N, 4 * n_local)
+            # column-major comp view for the in-scan column reads: one
+            # clean (Nl, N) -> (N, Nl) transpose per plane, once per tick
+            # (the XLA scan path reads EXACT columns; the seq kernel path
+            # instead DMAs symmetric grid rows and skips this transpose)
+            mm0cT = jnp.transpose(cov_mm0, (0, 1, 3, 2)
+                                  ).reshape(4, N, n_local)
             ii_loc = jnp.arange(n_local, dtype=jnp.int32)
-            diag0 = jnp.take_along_axis(
-                cov_mm0, (off + ii_loc)[:, None, None, None],
-                axis=2)[:, :, 0, :]                  # (Nl, 2, 2) own blocks
             # EVERYTHING the scan carries or indexes is in component-row
             # layout (see _SeqComp): strips as (k, Nl) with the landmark
             # axis on lanes. diag comps [p*2+q][n]; rm comps [i*2+p][n].
-            diag4 = jnp.transpose(diag0, (1, 2, 0)).reshape(4, n_local)
+            diag4 = jnp.take_along_axis(
+                cov_mm0, (off + ii_loc)[None, None, :, None],
+                axis=3)[:, :, :, 0].reshape(4, n_local)
             s0 = _SeqComp(
                 mean_r=st1.mean_r,
                 mm2=st1.mean_m.T,
@@ -660,10 +665,8 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
                 """Grid column g (local rows, comps (4, Nl)) after ops
                 0..j-1."""
                 Kb, HSb, CRb, gb, kb = bufs
-                colb = jax.lax.dynamic_index_in_dim(
-                    mm0_flat, g, axis=0, keepdims=False)
-                col = jnp.transpose(colb.reshape(n_local, 2, 2),
-                                    (1, 2, 0)).reshape(4, n_local)
+                col = jax.lax.dynamic_index_in_dim(
+                    mm0cT, g, axis=1, keepdims=False)      # (4, Nl)
                 g_loc = g - off
                 owns_g = (g_loc >= 0) & (g_loc < n_local)
                 g_safe = jnp.clip(g_loc, 0, n_local - 1).astype(jnp.int32)
@@ -885,12 +888,11 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
                 # mm0c = the frozen grid, column-major comp rows, left in
                 # HBM; the kernel DMAs one 16N-byte row per measurement.
                 from ..ops.pallas import seq_scan as _sq
-                mm0c = jnp.transpose(cov_mm0, (2, 1, 3, 0)
-                                     ).reshape(N, 4, n_local)
+                mm0p = cov_mm0.reshape(4, n_local, N)
                 (mr_o, mm2_o, crr_o, rm6_o, _diag4_o, seen_o, ns_o,
                  KbT, HSbT, CRbT, gb_o, kb_o) = _sq.deferred_seq_scan(
                     st1.mean_r, s0.mm2, st1.cov_rr, s0.rm6, diag4,
-                    st1.seen, st1.n_seen, mm0c, zs1, va1, id1, R,
+                    st1.seen, st1.n_seen, mm0p, zs1, va1, id1, R,
                     known=known, match_gate=float(config.match_gate),
                     new_gate=float(config.new_gate),
                     wrap_innovation=bool(config.wrap_innovation),
@@ -944,41 +946,33 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
             HSmask = HSfull * (iota[:, None] > colT[None, :]
                                )[:, None, :].astype(HSfull.dtype)  # (M,4,N)
 
-            # the grid pass runs ENTIRELY in flat (2Nl, 2N) space — the
-            # same layout-padding rule as mm0_flat above: every grid-shaped
-            # operand is 2D with large dims, so no op in the pass (gather,
-            # select, matmul) can acquire a lane-padded layout. The XLA
-            # schedule and the Pallas kernel share identical operands
-            # (ops/pallas/grid_update.py). Comp buffers [i, p*2+q, n]
-            # reshape to the kernel's parity-interleaved flats:
-            #   a[2n+p, 2i+q]  = Kmask[i, p*2+q, n]
-            #   b[2i+q, 2n+p]  = HSmask[i, p*2+q, n]
-            #   crow[2i+p, 2n+q] = CRfull[i, p*2+q, n]
-            #   ccol[2n+q, 2i+p] = CRb[i, p*2+q, n]
-            cov_flat = st1.cov_mm.reshape(2 * n_local, 2 * N)
-            a_flat = jnp.transpose(
-                Kmask.reshape(M, 2, 2, n_local), (3, 1, 0, 2)
-            ).reshape(2 * n_local, 2 * M)
-            b_flat = jnp.transpose(
-                HSmask.reshape(M, 2, 2, N), (0, 2, 3, 1)
-            ).reshape(2 * M, 2 * N)
-            crow = jnp.transpose(
-                CRfull.reshape(M, 2, 2, N), (0, 1, 3, 2)
-            ).reshape(2 * M, 2 * N)
-            ccol = jnp.transpose(
-                CRb.reshape(M, 2, 2, n_local), (3, 2, 0, 1)
-            ).reshape(2 * n_local, 2 * M)
-            rowt2 = jnp.repeat(rowT, 2)
-            colt2 = jnp.repeat(colT, 2)
+            # the grid pass runs per COMPONENT PLANE — every operand is
+            # a large-by-large 2D array, so no op in the pass (select,
+            # matmul) can acquire an interleaved lane-padded layout. The
+            # XLA schedule and the Pallas kernel share identical operands
+            # (ops/pallas/grid_update.py). Comp buffers [i, p*2+c, n]
+            # reshape to:
+            #   A[p][n, 2i+c]    = Kmask[i, p*2+c, n]
+            #   B[r][2i+c, m]    = HSmask[i, r*2+c, m]
+            #   crow[p, r, i, m] = CRfull[i, p*2+r, m]  (row overwrites)
+            #   ccol[p, r, n, i] = CRb[i, r*2+p, n]     (col overwrites,
+            #                                            comp-swapped)
+            A = jnp.transpose(Kmask.reshape(M, 2, 2, n_local),
+                              (1, 3, 0, 2)).reshape(2, n_local, 2 * M)
+            Bm = jnp.transpose(HSmask.reshape(M, 2, 2, N),
+                               (1, 0, 2, 3)).reshape(2, 2 * M, N)
+            crow = jnp.transpose(CRfull.reshape(M, 2, 2, N), (1, 2, 0, 3))
+            ccol = jnp.transpose(CRb.reshape(M, 2, 2, n_local),
+                                 (2, 1, 3, 0))
             if grid_kernel:
                 cov = _gu.fused_grid_update(
-                    cov_flat, a_flat, b_flat, crow, ccol, rowt2, colt2,
+                    st1.cov_mm, A, Bm, crow, ccol, rowT, colT,
                     interpret=kernel_interpret)
             else:
                 from ..ops.pallas.grid_update import reference_grid_update
                 cov = reference_grid_update(
-                    cov_flat, a_flat, b_flat, crow, ccol, rowt2, colt2)
-            return st1._replace(cov_mm=cov.reshape(n_local, 2, N, 2))
+                    st1.cov_mm, A, Bm, crow, ccol, rowT, colT)
+            return st1._replace(cov_mm=cov)
 
         if seq_kernel:
             # local batch is exactly 1 (validated above): call `one` on the

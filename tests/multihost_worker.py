@@ -196,11 +196,11 @@ def mode_bign(pid):
     for sh in got.cov_mm.addressable_shards:
         data = np.asarray(sh.data)
         full = ref.cov_mm[sh.index]
-        rows = range(*sh.index[1].indices(N2))
+        rows = range(*sh.index[3].indices(N2))   # comp planes: rows axis 3
         keep = [k for k, r in enumerate(rows) if r < ns]
         if keep:
             np.testing.assert_allclose(
-                data[:, keep][..., :ns, :], full[:, keep][..., :ns, :],
+                data[:, :, :, keep][..., :ns], full[:, :, :, keep][..., :ns],
                 atol=1e-7, err_msg="bign.cov_mm")
     print(f"pid={pid} MULTIHOST_BIGN_OK", flush=True)
 
@@ -253,11 +253,12 @@ def main():
         for sh in got.cov_mm.addressable_shards:
             data = np.asarray(sh.data)
             full = ref.cov_mm[sh.index]
-            rows = range(*sh.index[1].indices(N))
+            rows = range(*sh.index[3].indices(N))   # planes: rows axis 3
             keep = [k for k, r in enumerate(rows) if r < ns]
             if keep:
                 np.testing.assert_allclose(
-                    data[:, keep][..., :ns, :], full[:, keep][..., :ns, :],
+                    data[:, :, :, keep][..., :ns],
+                    full[:, :, :, keep][..., :ns],
                     atol=1e-8, err_msg=f"{name}.cov_mm")
 
     # ---- sharded Schur GN across the process boundary -------------------

@@ -27,7 +27,8 @@ def dense_to_blocked(st: ekf.EKFState, batch_idx=None) -> tuple:
     mean_m = st.mean[3:].reshape(n, 2)
     cov_rr = st.cov[:3, :3]
     cov_rm = st.cov[:3, 3:].reshape(3, n, 2)
-    cov_mm = st.cov[3:, 3:].reshape(n, 2, n, 2)
+    # comp planes: plane[p, q, n, m] = cov[3+2n+p, 3+2m+q]
+    cov_mm = jnp.transpose(st.cov[3:, 3:].reshape(n, 2, n, 2), (1, 3, 0, 2))
     return mean_r, mean_m, cov_rr, cov_rm, cov_mm
 
 
@@ -90,7 +91,7 @@ def test_blocked_matches_dense_known_assoc(map_devices):
         # prior whose exact handling differs by path)
         ns = int(bst.n_seen[b])
         np.testing.assert_allclose(
-            bst.cov_mm[b][:ns, :, :ns, :], cov_mm[:ns, :, :ns, :], atol=1e-8)
+            bst.cov_mm[b][:, :, :ns, :ns], cov_mm[:, :, :ns, :ns], atol=1e-8)
 
 
 def test_one_vs_many_devices_bitwise():
@@ -155,5 +156,5 @@ def test_deferred_matches_sequential(map_devices):
     np.testing.assert_allclose(a.cov_rm, b.cov_rm, atol=1e-9)
     for bb in range(B):
         ns = int(a.n_seen[bb])
-        np.testing.assert_allclose(a.cov_mm[bb][:ns, :, :ns, :],
-                                   b.cov_mm[bb][:ns, :, :ns, :], atol=1e-8)
+        np.testing.assert_allclose(a.cov_mm[bb][:, :, :ns, :ns],
+                                   b.cov_mm[bb][:, :, :ns, :ns], atol=1e-8)

@@ -145,8 +145,8 @@ def test_deferred_unknown_matches_sequential(map_devices):
     np.testing.assert_allclose(a.cov_rm, b.cov_rm, atol=1e-9)
     for bb in range(B):
         ns = int(a.n_seen[bb])
-        np.testing.assert_allclose(a.cov_mm[bb][:ns, :, :ns, :],
-                                   b.cov_mm[bb][:ns, :, :ns, :], atol=1e-8)
+        np.testing.assert_allclose(a.cov_mm[bb][:, :, :ns, :ns],
+                                   b.cov_mm[bb][:, :, :ns, :ns], atol=1e-8)
 
 
 def test_deferred_unknown_f32_association_decisions():

@@ -85,11 +85,11 @@ class TestFusedGridUpdate:
 
     def _inputs(self, Nl, N, M, seed=0):
         rng = np.random.default_rng(seed)
-        cov = rng.normal(size=(2 * Nl, 2 * N)).astype(np.float32)
-        a = rng.normal(size=(2 * Nl, 2 * M)).astype(np.float32)
-        b = rng.normal(size=(2 * M, 2 * N)).astype(np.float32)
-        crow = rng.normal(size=(2 * M, 2 * N)).astype(np.float32)
-        ccol = rng.normal(size=(2 * Nl, 2 * M)).astype(np.float32)
+        cov = rng.normal(size=(2, 2, Nl, N)).astype(np.float32)
+        a = rng.normal(size=(2, Nl, 2 * M)).astype(np.float32)
+        b = rng.normal(size=(2, 2 * M, N)).astype(np.float32)
+        crow = rng.normal(size=(2, 2, M, N)).astype(np.float32)
+        ccol = rng.normal(size=(2, 2, Nl, M)).astype(np.float32)
         # last-init op indices: mostly -1 (no init), some rows/cols init'd
         rowt = np.full(Nl, -1, np.int32)
         colt = np.full(N, -1, np.int32)
@@ -99,8 +99,7 @@ class TestFusedGridUpdate:
         colt[cols] = rng.integers(0, M, cols.size)
         return (jnp.asarray(cov), jnp.asarray(a), jnp.asarray(b),
                 jnp.asarray(crow), jnp.asarray(ccol),
-                jnp.asarray(np.repeat(rowt, 2)),
-                jnp.asarray(np.repeat(colt, 2)))
+                jnp.asarray(rowt), jnp.asarray(colt))
 
     @pytest.mark.parametrize("Nl,N,M", [(64, 64, 4), (32, 128, 8)])
     def test_matches_reference(self, Nl, N, M):
@@ -112,11 +111,12 @@ class TestFusedGridUpdate:
     def test_no_ops_is_pure_subtract(self):
         args = self._inputs(64, 64, 4, seed=3)
         cov, a, b, crow, ccol, _, _ = args
-        rowt = jnp.full((128,), -1, jnp.int32)
-        colt = jnp.full((128,), -1, jnp.int32)
+        rowt = jnp.full((64,), -1, jnp.int32)
+        colt = jnp.full((64,), -1, jnp.int32)
         got = fused_grid_update(cov, a, b, crow, ccol, rowt, colt,
                                 interpret=True)
-        want = cov - jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
+        want = cov - jnp.einsum("pnk,rkm->prnm", a, b,
+                                precision=jax.lax.Precision.HIGHEST)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
