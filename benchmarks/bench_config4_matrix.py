@@ -34,7 +34,7 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def run_variant(N, M, T, unknown, deferred, grid_kernel):
+def run_variant(N, M, T, unknown, deferred, grid_kernel, seqk=False):
     from shermbot_navigation_tpu.models.ekf_slam import EKFConfig
     from shermbot_navigation_tpu.parallel import bigmap, blocked_ekf
     from shermbot_navigation_tpu.parallel.mesh import make_mesh
@@ -44,7 +44,8 @@ def run_variant(N, M, T, unknown, deferred, grid_kernel):
     wl = bigmap.make_workload(N, T, M, jax.random.PRNGKey(0))
     maker = bigmap.make_unknown_runner if unknown else bigmap.make_runner
     runner = maker(cfg, mesh, 1, M, deferred=deferred,
-                   grid_kernel=grid_kernel if deferred else None)
+                   grid_kernel=grid_kernel if deferred else None,
+                   seq_kernel=seqk if deferred else None)
     state = blocked_ekf.init(cfg, 1)
     specs = blocked_ekf.state_sharding(mesh)
     state = jax.tree_util.tree_map(
@@ -62,12 +63,23 @@ def run_variant(N, M, T, unknown, deferred, grid_kernel):
         best = min(best, time.time() - t0)
     ticks = T / best
     grid_bytes = 16 * N * N
-    passes = (2 * M) if not deferred else (2 if grid_kernel else 4)
+    # pass model: sequential touches the grid 2M times; deferred XLA =
+    # sub-matmul + select pass + the mm0cT per-plane transpose (~6);
+    # the seq-kernel path skips the transpose (~4); the Pallas grid pass
+    # replaces sub+select with one read+write (2).
+    if not deferred:
+        passes = 2 * M
+    else:
+        passes = (2 if grid_kernel else 4) + (0 if seqk else 2)
     phys = ticks * passes * grid_bytes
+    step = "deferred" if deferred else "sequential"
+    if deferred and seqk:
+        step += "+seqk"
+    if deferred and grid_kernel:
+        step += "+gridk"
     return {
         "N": N, "assoc": "unknown" if unknown else "known",
-        "step": ("deferred+kernel" if deferred and grid_kernel else
-                 "deferred" if deferred else "sequential"),
+        "step": step,
         "ticks_per_s": round(ticks, 2),
         "updates_per_s": round(ticks * M, 1),
         "grid_passes_model": passes,
@@ -99,14 +111,14 @@ def grid_kernel_micro(N=2048, M=8, iters=10):
         fused_grid_update)
     from shermbot_navigation_tpu.utils.tracing import time_fn
     rng = np.random.default_rng(0)
-    R2, C2, M2 = 2 * N, 2 * N, 2 * M
-    cov = jnp.asarray(rng.normal(size=(R2, C2)).astype(np.float32))
-    a = jnp.asarray(rng.normal(size=(R2, M2)).astype(np.float32))
-    b = jnp.asarray(rng.normal(size=(M2, C2)).astype(np.float32))
-    crow = jnp.asarray(rng.normal(size=(M2, C2)).astype(np.float32))
-    ccol = jnp.asarray(rng.normal(size=(R2, M2)).astype(np.float32))
-    rowt = jnp.full((R2,), -1, jnp.int32).at[:16].set(0)
-    colt = jnp.full((C2,), -1, jnp.int32).at[:16].set(0)
+    M2 = 2 * M
+    cov = jnp.asarray(rng.normal(size=(2, 2, N, N)).astype(np.float32))
+    a = jnp.asarray(rng.normal(size=(2, N, M2)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(2, M2, N)).astype(np.float32))
+    crow = jnp.asarray(rng.normal(size=(2, 2, M, N)).astype(np.float32))
+    ccol = jnp.asarray(rng.normal(size=(2, 2, N, M)).astype(np.float32))
+    rowt = jnp.full((N,), -1, jnp.int32).at[:8].set(0)
+    colt = jnp.full((N,), -1, jnp.int32).at[:8].set(0)
 
     @jax.jit
     def loop(cov):
@@ -117,7 +129,7 @@ def grid_kernel_micro(N=2048, M=8, iters=10):
 
     t = time_fn(loop, cov, iters=5)["best_s"] / iters
     return {"grid_kernel_ms": round(t * 1e3, 3),
-            "grid_kernel_GBps": round(2 * 4 * R2 * C2 / t / 1e9, 1)}
+            "grid_kernel_GBps": round(2 * 4 * 4 * N * N / t / 1e9, 1)}
 
 
 def main():
@@ -129,23 +141,25 @@ def main():
     micro = grid_kernel_micro()
     log(str(micro))
 
-    # NOTE: no grid-kernel rows at N=8192 — the kernel's flat operand layout
-    # forces a relayout copy whose tile-padded intermediate
-    # (f32[1,8192,2,8192,2]{T(8,128)}, 64 GiB) OOMs the 16 GB chip; measured
-    # in the r03 session, which is why production auto-routes to XLA
-    # (parallel/bigmap._resolve_grid_kernel).
+    # (N, unknown, deferred, grid_kernel, seq_kernel). Grid-kernel rows at
+    # N=8192 are possible again with the comp-plane grid state (the old
+    # flat-operand relayout copy OOM'd at 64 GiB; planes have no relayout).
     matrix = [
-        (2048, False, True, False), (2048, False, True, True),
-        (2048, False, False, False),
-        (2048, True, True, False), (2048, True, True, True),
-        (2048, True, False, False),
-        (8192, False, True, False), (8192, True, True, False),
-        (8192, False, False, False),
+        (2048, False, True, False, True), (2048, False, True, True, True),
+        (2048, False, True, False, False), (2048, False, True, True, False),
+        (2048, False, False, False, False),
+        (2048, True, True, False, True), (2048, True, True, False, False),
+        (2048, True, False, False, False),
+        (8192, False, True, False, True), (8192, False, True, True, True),
+        (8192, False, True, False, False),
+        (8192, False, False, False, False),
+        (8192, True, True, False, True),
     ]
-    for N, unknown, deferred, gk in matrix:
-        T = 50 if N == 2048 else 20
-        log(f"running N={N} unknown={unknown} deferred={deferred} gk={gk}")
-        row = run_variant(N, 8, T, unknown, deferred, gk)
+    for N, unknown, deferred, gk, seqk in matrix:
+        T = 100 if (N == 2048 and seqk) else 50 if N == 2048 else 20
+        log(f"running N={N} unknown={unknown} deferred={deferred} "
+            f"gk={gk} seqk={seqk}")
+        row = run_variant(N, 8, T, unknown, deferred, gk, seqk)
         log(str(row))
         rows.append(row)
 

@@ -127,7 +127,7 @@ def _make_kernel(M: int, N: int, known: bool, match_gate: float,
             contiguous row-block DMAs, no transpose anywhere. (Sigma is
             symmetric by construction here: init writes mirror one cross
             strip and the rank-2 term is K psi^-1 K^T-shaped; only psi's
-            ~1-ulp f32 asymmetry breaks it, PARITY P9.) Mosaic DMA slices
+            ~1-ulp f32 asymmetry breaks it, PARITY D13.) Mosaic DMA slices
             must be sublane-aligned, so each DMA moves the aligned 8-row
             block containing g and a masked reduce picks the row out."""
             swap = (0, 2, 1, 3)                # comp (p,q) <- plane (q,p)

@@ -64,19 +64,29 @@ def _true_pose(cmd, t, dtype):
 
 def _resolve_grid_kernel(grid_kernel, cfg: EKFConfig, mesh: Mesh,
                          dtype) -> bool:
-    """``None`` -> auto: the XLA grid pass. MEASURED decision (r03 chip
-    session, bench_config4_matrix): in production the Pallas kernel costs a
-    per-tick physical relayout of the (N,2,N,2) grid into its flat operand
-    layout — the minor dim-2 tile-pads to 128 (64x), 27 vs 121 ticks/s at
-    N=2048 and a 64 GiB OOM at N=8192 — and even copy-free in isolation it
-    streams 45.6 GB/s vs the session's 102 GB/s ceiling, no better than
-    XLA's fused schedule, which already runs the N=8192 tick at the stream
-    ceiling (105 GB/s physical). The kernel remains available explicitly
-    (``grid_kernel=True``) for benchmarking and as the 2-pass-floor
-    reference; production takes the XLA schedule."""
+    """``None`` -> auto: the fused Pallas grid pass on TPU when the plane
+    shapes are lane-aligned and the mesh is single-shard. MEASURED (r03
+    chip session, bench_config4_matrix, comp-plane grid state): with the
+    measurement-scan kernel the grid pass dominates the tick and the
+    2-pass-floor kernel wins end-to-end — N=8192 known 117.6 vs 65.6
+    ticks/s (1.79x, 252 GB/s physical), N=2048 known 1531 vs 1157 (1.32x).
+    (The r02-era demotion measured the FLAT grid state, where feeding the
+    kernel forced a 64x tile-padded relayout copy — 27 vs 121 ticks/s,
+    OOM at N=8192; the plane layout makes that relayout impossible.)
+    Multi-shard meshes default to the XLA schedule (kernel-under-shard_map
+    is dryrun-verified in interpret mode but not hardware-measured here);
+    ``grid_kernel=True`` forces it."""
     if grid_kernel is not None:
         return bool(grid_kernel)
-    return False
+    if dtype != jnp.float32:
+        return False
+    if jax.devices()[0].platform in ("cpu",):
+        return False
+    if mesh.shape["map"] != 1:
+        return False
+    from ..ops.pallas.grid_update import grid_shapes_supported
+    N = cfg.num_landmarks
+    return grid_shapes_supported(N // mesh.shape["map"], N)
 
 
 def _resolve_seq_kernel(seq_kernel, mesh: Mesh, batch: int, dtype) -> bool:
