@@ -89,6 +89,17 @@ def _inv2x2_s(p00, p01, p10, p11):
     return p11 / det, -p01 / det, -p10 / det, p00 / det
 
 
+def seq_scan_supported(N: int, M: int) -> bool:
+    """VMEM routing gate: the kernel holds the op buffers (3 x 4M rows),
+    the state strips (~26 rows in+out), and the 8-row column scratch in
+    VMEM. Mosaic's scoped-vmem limit is 16 MB; N=16384/M=8 measured 17.65
+    MB and fails to compile, N=8192 fits comfortably. Estimate with ~40%
+    headroom for Mosaic's own scratch."""
+    rows = 3 * 4 * M * 2 + 26 + 32        # buffers (in+out aliasing), strips
+    est = rows * N * 4
+    return est * 1.4 < 16 * 1024 * 1024
+
+
 def _make_kernel(M: int, N: int, known: bool, match_gate: float,
                  new_gate: float, wrap_innovation: bool, symmetrize: bool,
                  interpret: bool):

@@ -89,7 +89,8 @@ def _resolve_grid_kernel(grid_kernel, cfg: EKFConfig, mesh: Mesh,
     return grid_shapes_supported(N // mesh.shape["map"], N)
 
 
-def _resolve_seq_kernel(seq_kernel, mesh: Mesh, batch: int, dtype) -> bool:
+def _resolve_seq_kernel(seq_kernel, cfg_N: int, M: int, mesh: Mesh,
+                        batch: int, dtype) -> bool:
     """``None`` -> auto: the fused Pallas measurement-scan kernel
     (ops/pallas/seq_scan.py) on a real TPU backend when its routing
     constraints hold — single 'map' shard, one batch element per 'data'
@@ -103,11 +104,16 @@ def _resolve_seq_kernel(seq_kernel, mesh: Mesh, batch: int, dtype) -> bool:
         return False
     if dtype != jnp.float32:
         return False
-    # MEASURED (r03, bench_seq_kernel.py on the chip, grid-plane state):
-    # known 8.90 -> 0.61 ms/tick (14.7x), unknown 9.11 -> 0.69 (13.2x) at
-    # N=2048, parity 1e-6. The XLA scan lowering is launch-bound (~280
-    # ops/measurement); the kernel runs the whole scan in VMEM.
-    return jax.devices()[0].platform not in ("cpu",)
+    # MEASURED (r03, bench_seq_kernel.py / bench_production_auto.py on the
+    # chip, grid-plane state): known 8.90 -> 0.29 ms/tick, unknown -> 0.37
+    # at N=2048 (parity 1e-6); 143/148 ticks/s at N=8192. The XLA scan
+    # lowering is launch-bound (~280 ops/measurement); the kernel runs the
+    # whole scan in VMEM — which bounds it: N=16384/M=8 exceeds Mosaic's
+    # 16 MB scoped-vmem limit (measured 17.65 MB), so big maps fall back
+    # to the XLA scan (seq_scan_supported).
+    from ..ops.pallas.seq_scan import seq_scan_supported
+    return (jax.devices()[0].platform not in ("cpu",)
+            and seq_scan_supported(cfg_N, M))
 
 
 def make_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int,
@@ -133,7 +139,8 @@ def make_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int,
             cfg, mesh, batch, M,
             grid_kernel=_resolve_grid_kernel(grid_kernel, cfg, mesh, dtype),
             meas_unroll=meas_unroll,
-            seq_kernel=_resolve_seq_kernel(seq_kernel, mesh, batch, dtype),
+            seq_kernel=_resolve_seq_kernel(seq_kernel, cfg.num_landmarks,
+                                           M, mesh, batch, dtype),
             seq_interpret=seq_interpret)
     else:
         step = blocked_ekf.make_sharded_step(cfg, mesh, batch, M)
@@ -185,7 +192,8 @@ def make_unknown_runner(cfg: EKFConfig, mesh: Mesh, batch: int, M: int,
             cfg, mesh, batch, M,
             grid_kernel=_resolve_grid_kernel(grid_kernel, cfg, mesh, dtype),
             meas_unroll=meas_unroll,
-            seq_kernel=_resolve_seq_kernel(seq_kernel, mesh, batch, dtype),
+            seq_kernel=_resolve_seq_kernel(seq_kernel, cfg.num_landmarks,
+                                           M, mesh, batch, dtype),
             seq_interpret=seq_interpret)
     else:
         step = blocked_ekf.make_sharded_unknown_step(cfg, mesh, batch, M)

@@ -903,7 +903,7 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
                 bufs = (KbT, HSbT, CRbT, gb_o, kb_o)
             else:
                 # the scan body never touches the raw grid (columns come
-                # from mm0_flat, association from the carried diag) — the
+                # from mm0cT, association from the carried diag) — the
                 # grid stays OUT of the while-loop carry so layout
                 # assignment cannot relayout it
                 (s_out, bufs, _, _, _), _ = jax.lax.scan(

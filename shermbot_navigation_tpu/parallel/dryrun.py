@@ -85,6 +85,27 @@ def run(n_devices: int) -> None:
     assert int(outk.n_seen[0]) == M
     assert bool(jnp.isfinite(outk.mean_r).all())
 
+    # fused measurement-scan kernel (interpret off-TPU): the production
+    # single-shard config-4 scan path, both association modes, on a
+    # 1-device mesh (its routing constraint)
+    m1 = mesh_lib.make_mesh(devices[:1], data=1)
+    s1 = blocked_ekf.state_sharding(m1)
+    interp = jax.default_backend() != "tpu"
+    for known in (True, False):
+        mk = (blocked_ekf.make_sharded_deferred_step if known
+              else blocked_ekf.make_sharded_deferred_unknown_step)
+        sstep = mk(kcfg, m1, 1, M, seq_kernel=True, seq_interpret=interp)
+        sstate = blocked_ekf.init(kcfg, 1)
+        sstate = jax.tree_util.tree_map(
+            lambda x, sp: jax.device_put(x, NamedSharding(m1, sp)),
+            sstate, s1)
+        args = (sstate, twist[:1], zs[:1], valid[:1])
+        args += ((ids[:1], Q, R) if known else (Q, R))
+        outs1 = sstep(*args)
+        jax.block_until_ready(outs1)
+        assert int(outs1.n_seen[0]) == M
+        assert bool(jnp.isfinite(outs1.mean_r).all())
+
     # PP staged pipeline (the reference's tube_world -> landmarks -> slam
     # topic pipeline as a 2-stage 'pp' mesh; unknown_data_assoc.launch:4-21)
     from jax.sharding import Mesh as _Mesh
@@ -112,4 +133,5 @@ def run(n_devices: int) -> None:
 
     print(f"dryrun_multichip OK: mesh={dict(m.shape)} B={B} N={N} M={M} "
           f"(blocked known/unknown EKF + deferred grid-kernel[interpret "
-          f"Nk={Nk}] + PP staged pipeline + pose graph + sharded Schur)")
+          f"Nk={Nk}] + seq-scan-kernel[interpret, known+unknown] + PP "
+          f"staged pipeline + pose graph + sharded Schur)")
