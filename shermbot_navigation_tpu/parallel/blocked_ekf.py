@@ -638,6 +638,10 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
             # EVERYTHING the scan carries or indexes is in component-row
             # layout (see _SeqComp): strips as (k, Nl) with the landmark
             # axis on lanes. diag comps [p*2+q][n]; rm comps [i*2+p][n].
+            # (A strided-slice diagonal — flat stride N+1 — was tried and
+            # is a measured NEGATIVE: 0.41 vs 0.34 ms/tick at N=2048 and
+            # a 48 MB scoped-VMEM compile failure at N=8192; XLA's
+            # strided-slice lowering materializes the gather in VMEM.)
             diag4 = jnp.take_along_axis(
                 cov_mm0, (off + ii_loc)[None, None, :, None],
                 axis=3)[:, :, :, 0].reshape(4, n_local)
