@@ -61,6 +61,14 @@ class BlockedState(NamedTuple):
     cov_rr: jnp.ndarray   # (B, 3, 3)
     cov_rm: jnp.ndarray   # (B, 3, N, 2)
     cov_mm: jnp.ndarray   # (B, 2, 2, N, N) comp planes — rows sharded
+    diag4: jnp.ndarray    # (B, 4, N) own-block diagonal cache, comps
+                          # [p*2+q][n] == cov_mm[p, q, n, n]. Maintained by
+                          # every step (association reads it instead of
+                          # gathering the planes — a full-plane read per
+                          # tick otherwise, measured 2x the whole tick at
+                          # N=8192). May drift from the true diagonal by
+                          # f32 ulps (the grid pass sums in a different
+                          # order) — PARITY D15.
     n_seen: jnp.ndarray   # (B,) int32
     seen: jnp.ndarray     # (B, N) bool — per-slot init mask (see EKFState.seen)
 
@@ -73,6 +81,7 @@ def state_sharding(mesh: Mesh):
         cov_rr=P("data", None, None),
         cov_rm=P("data", None, "map", None),
         cov_mm=P("data", None, None, "map", None),
+        diag4=P("data", None, "map"),
         n_seen=P("data"),
         seen=P("data", "map"),
     )
@@ -89,12 +98,15 @@ def init(config: EKFConfig, batch: int, robot_pose=None, dtype=jnp.float32
     diag = jnp.eye(2, dtype=dtype) * jnp.asarray(config.init_cov, dtype)
     cov_mm = jnp.eye(N, dtype=dtype)[None, None, :, :] * diag[:, :, None, None]
     cov_mm = jnp.broadcast_to(cov_mm[None], (B, 2, 2, N, N))
+    diag4 = jnp.broadcast_to(
+        diag.reshape(4)[None, :, None], (B, 4, N)).astype(dtype)
     return BlockedState(
         mean_r=mean_r,
         mean_m=jnp.zeros((B, N, 2), dtype),
         cov_rr=jnp.zeros((B, 3, 3), dtype),
         cov_rm=jnp.zeros((B, 3, N, 2), dtype),
         cov_mm=cov_mm,
+        diag4=diag4,
         n_seen=jnp.zeros((B,), jnp.int32),
         seen=jnp.zeros((B, N), bool),
     )
@@ -219,10 +231,17 @@ def _update_shard(config, st, z, j, R, n_local):
     cov_mm = st.cov_mm - jnp.einsum("npq,mrq->prnm", K_m, HS_m,
                                     precision=PRECISION)
 
+    # own-block diagonal cache: the same rank-2 subtraction, local rows
+    kc = jnp.transpose(K_m, (1, 2, 0))              # (2, 2, Nl) [p, q, n]
+    sc = jnp.transpose(SHt_m, (1, 2, 0))            # (2, 2, Nl) [r, q, n]
+    diag4 = st.diag4 - jnp.stack(
+        [kc[p, 0] * sc[r, 0] + kc[p, 1] * sc[r, 1]
+         for p in range(2) for r in range(2)])
+
     if config.symmetrize:
         cov_rr = 0.5 * (cov_rr + cov_rr.T)
     return st._replace(mean_r=mean_r, mean_m=mean_m, cov_rr=cov_rr,
-                       cov_rm=cov_rm, cov_mm=cov_mm)
+                       cov_rm=cov_rm, cov_mm=cov_mm, diag4=diag4)
 
 
 def _init_landmark_shard(config, st, z, j, R, n_local):
@@ -300,7 +319,13 @@ def _init_landmark_shard(config, st, z, j, R, n_local):
             cov_mm, block[:, :, None, None],
             (jnp.int32(0), jnp.int32(0), j_safe, j)),
         cov_mm)
-    return st._replace(mean_m=mean_m, cov_rm=cov_rm, cov_mm=cov_mm)
+    diag4 = jnp.where(
+        owns,
+        jax.lax.dynamic_update_slice(
+            st.diag4, block.reshape(4, 1), (jnp.int32(0), j_safe)),
+        st.diag4)
+    return st._replace(mean_m=mean_m, cov_rm=cov_rm, cov_mm=cov_mm,
+                       diag4=diag4)
 
 
 def _associate_shard(config, st, z, R, n_local, Smm=None):
@@ -333,13 +358,9 @@ def _associate_shard(config, st, z, R, n_local, Smm=None):
     Srm = jnp.transpose(st.cov_rm, (1, 0, 2))        # (Nl, 3, 2)
     ii = jnp.arange(n_local)
     if Smm is None:
-        # own-block diagonal of the local grid rows: plane[p, q, n, off+n],
-        # one lane-gather per comp plane
-        Smm = jnp.transpose(
-            jnp.take_along_axis(
-                st.cov_mm, (off + ii)[None, None, :, None],
-                axis=3)[:, :, :, 0],
-            (2, 0, 1))
+        # own-block diagonal from the maintained cache (a plane gather
+        # here costs a full plane-set read per call — PARITY D15)
+        Smm = jnp.transpose(st.diag4.reshape(2, 2, n_local), (2, 0, 1))
     # (Nl, 2, 2)
 
     top = jnp.concatenate(
@@ -638,13 +659,13 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
             # EVERYTHING the scan carries or indexes is in component-row
             # layout (see _SeqComp): strips as (k, Nl) with the landmark
             # axis on lanes. diag comps [p*2+q][n]; rm comps [i*2+p][n].
-            # (A strided-slice diagonal — flat stride N+1 — was tried and
-            # is a measured NEGATIVE: 0.41 vs 0.34 ms/tick at N=2048 and
-            # a 48 MB scoped-VMEM compile failure at N=8192; XLA's
-            # strided-slice lowering materializes the gather in VMEM.)
-            diag4 = jnp.take_along_axis(
-                cov_mm0, (off + ii_loc)[None, None, :, None],
-                axis=3)[:, :, :, 0].reshape(4, n_local)
+            # own-block diagonal from the maintained state cache —
+            # gathering it from the planes costs a full plane-set read
+            # per tick, measured 2x the rest of the tick at N=8192.
+            # (A strided-slice gather was also tried: 0.41 vs 0.34
+            # ms/tick at N=2048 and a 48 MB scoped-VMEM compile failure
+            # at N=8192 — XLA materializes strided gathers in VMEM.)
+            diag4 = st1.diag4
             s0 = _SeqComp(
                 mean_r=st1.mean_r,
                 mm2=st1.mean_m.T,
@@ -904,13 +925,14 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
                     interpret=seq_interpret)
                 s_out = _SeqComp(mean_r=mr_o, mm2=mm2_o, cov_rr=crr_o,
                                  rm6=rm6_o, n_seen=ns_o, seen=seen_o)
+                diag_out = _diag4_o
                 bufs = (KbT, HSbT, CRbT, gb_o, kb_o)
             else:
                 # the scan body never touches the raw grid (columns come
                 # from mm0cT, association from the carried diag) — the
                 # grid stays OUT of the while-loop carry so layout
                 # assignment cannot relayout it
-                (s_out, bufs, _, _, _), _ = jax.lax.scan(
+                (s_out, bufs, diag_out, _, _), _ = jax.lax.scan(
                     body,
                     (s0, bufs0, diag4, jnp.bool_(False), jnp.int32(0)),
                     xs, unroll=meas_unroll)
@@ -920,6 +942,7 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
                 cov_rr=s_out.cov_rr,
                 cov_rm=jnp.transpose(
                     s_out.rm6.reshape(3, 2, n_local), (0, 2, 1)),
+                diag4=diag_out,
                 n_seen=s_out.n_seen,
                 seen=s_out.seen)
             Kb, HSb, CRb, gb, kb = bufs
