@@ -75,9 +75,12 @@ def run_point(N, M, unknown, T1, T2):  # noqa: C901
 
 def main():
     rows = []
-    for N, unknown, T1, T2 in ((2048, False, 20, 120), (2048, True, 20, 120),
-                               (8192, False, 10, 40), (8192, True, 10, 40),
-                               (16384, False, 5, 20), (16384, True, 5, 20)):
+    sizes = [int(x) for x in
+             os.environ.get("PROD_SIZES", "2048,8192,16384").split(",")]
+    points = [(N, unk, *((20, 120) if N == 2048 else
+                         (10, 40) if N == 8192 else (5, 20)))
+              for N in sizes for unk in (False, True)]
+    for N, unknown, T1, T2 in points:
         log(f"N={N} unknown={unknown} ...")
         row = run_point(N, 8, unknown, T1, T2)
         log(str(row))

@@ -92,12 +92,13 @@ def _inv2x2_s(p00, p01, p10, p11):
 def seq_scan_supported(N: int, M: int) -> bool:
     """VMEM routing gate: the kernel holds the op buffers (3 x 4M rows),
     the state strips (~26 rows in+out), and the 8-row column scratch in
-    VMEM. Mosaic's scoped-vmem limit is 16 MB; N=16384/M=8 measured 17.65
-    MB and fails to compile, N=8192 fits comfortably. Estimate with ~40%
-    headroom for Mosaic's own scratch."""
-    rows = 3 * 4 * M * 2 + 26 + 32        # buffers (in+out aliasing), strips
+    VMEM. Mosaic's scoped-vmem limit is a hard 16 MB; with the reused
+    single column buffer N=16384/M=8 compiles (the (4,8,N) colbuf variant
+    measured 17.65 MB and did not). Mosaic's own overhead on top of the
+    estimate measured <= 8%."""
+    rows = 3 * 4 * M * 2 + 26 + 8         # buffers (in+out), strips, colbuf
     est = rows * N * 4
-    return est * 1.4 < 16 * 1024 * 1024
+    return est * 1.05 < 16 * 1024 * 1024
 
 
 def _make_kernel(M: int, N: int, known: bool, match_gate: float,
@@ -146,17 +147,17 @@ def _make_kernel(M: int, N: int, known: bool, match_gate: float,
                 return [mm0_ref[swap[c], g][None] for c in range(4)]
             g8 = (g // 8) * 8
             sub = g - g8
-            for c in range(4):
-                pltpu.make_async_copy(
-                    mm0_ref.at[swap[c], pl.ds(g8, 8), :], colbuf.at[c],
-                    sem).start()
             rid = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
             out = []
+            # one (8, N) buffer reused across the four comps — the
+            # (4, 8, N) variant's extra 1.5 MB is exactly what pushes
+            # N=16384 past Mosaic's 16 MB scoped-vmem limit
             for c in range(4):
-                pltpu.make_async_copy(
-                    mm0_ref.at[swap[c], pl.ds(g8, 8), :], colbuf.at[c],
-                    sem).wait()
-                blk = colbuf[c]                                  # (8, N)
+                copy = pltpu.make_async_copy(
+                    mm0_ref.at[swap[c], pl.ds(g8, 8), :], colbuf, sem)
+                copy.start()
+                copy.wait()
+                blk = colbuf[...]                                # (8, N)
                 out.append(jnp.sum(
                     jnp.where(rid == sub, blk, jnp.zeros_like(blk)),
                     axis=0, keepdims=True))
@@ -481,7 +482,7 @@ def deferred_seq_scan(mean_r, mm2, cov_rr, rm6, diag4, seen, n_seen,
             vmem(), vmem(), vmem(), vmem(), vmem(), vmem(), vmem(),
         ],
         scratch_shapes=[
-            pltpu.VMEM((4, 8, N), f32),
+            pltpu.VMEM((8, N), f32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=bool(interpret),
