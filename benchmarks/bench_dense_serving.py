@@ -97,14 +97,24 @@ def make_runner(cfg, lms, T):
     return run
 
 
-def best_time(fn, *args, iters=3):
+@jax.jit
+def _sync_scalar(st):
+    """One scalar DEPENDING ON the big cov output (tunnel trap 14a)."""
+    return jnp.sum(st.cov) + jnp.sum(st.mean)
+
+
+def timed_chain(run, st, reps=3):
+    """Chain the state through every timed call so each dispatch is a
+    unique (program, input) — identical re-dispatches can be served from
+    cache upstream of the chip (tunnel trap 14b), which collapses the
+    two-depth differencing to tA == tB == floor."""
     best = float("inf")
-    for _ in range(iters):
-        t0 = time.time()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.time() - t0)
-    return best
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        st = run(st)
+        float(_sync_scalar(st))
+        best = min(best, time.perf_counter() - t0)
+    return best, st
 
 
 def measure(mode, T1=10, T2=50):
@@ -114,11 +124,13 @@ def measure(mode, T1=10, T2=50):
     st, lms = make_seeded_state(cfg)
     runA = make_runner(cfg, lms, T1)
     runB = make_runner(cfg, lms, T2)
-    outA = runA(st)
-    outB = runB(st)
-    assert bool(jnp.isfinite(outB.mean).all())
-    tA = best_time(runA, st)
-    tB = best_time(runB, st)
+    st = runA(st)
+    float(_sync_scalar(st))                   # compile+warm A
+    st = runB(st)
+    float(_sync_scalar(st))                   # compile+warm B
+    assert bool(jnp.isfinite(st.mean).all())
+    tA, st = timed_chain(runA, st)
+    tB, st = timed_chain(runB, st)
     t_tick = (tB - tA) / (T2 - T1)
     floor = max(tA - T1 * t_tick, 0.0)
     ups = M / t_tick
@@ -133,17 +145,42 @@ def measure(mode, T1=10, T2=50):
     }
 
 
-def stream_ceiling(D=PAD, iters=20):
+def stream_ceiling(D=PAD, L1=20, L2=120):
+    """Non-foldable body (an affine body composes across scan iterations
+    into one op — bench_stream_ceiling.py), chained carry, two depths."""
     x = jnp.ones((D, D), jnp.float32)
 
-    @jax.jit
-    def loop(x):
-        def body(c, _):
-            return c * 1.0000001 + 1e-9, None
-        c, _ = jax.lax.scan(body, x, None, length=iters)
-        return c
+    def mk(L):
+        @jax.jit
+        def loop(c):
+            def body(c, _):
+                return jnp.abs(c) * 1.0000001 + 1e-9, None
+            c, _ = jax.lax.scan(body, c, None, length=L)
+            return c
+        return loop
 
-    t = best_time(loop, x, iters=5) / iters
+    @jax.jit
+    def _sum(c):
+        return jnp.sum(c)
+
+    loopA, loopB = mk(L1), mk(L2)
+    x = loopA(x)
+    float(_sum(x))
+    x = loopB(x)
+    float(_sum(x))
+
+    def timed(loop, c):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            c = loop(c)
+            float(_sum(c))
+            best = min(best, time.perf_counter() - t0)
+        return best, c
+
+    tA, x = timed(loopA, x)
+    tB, x = timed(loopB, x)
+    t = (tB - tA) / (L2 - L1)
     return round(2 * 4 * D * D / t / 1e9, 1)
 
 def main():

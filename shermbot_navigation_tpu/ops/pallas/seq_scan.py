@@ -90,12 +90,22 @@ def _inv2x2_s(p00, p01, p10, p11):
 
 
 def seq_scan_supported(N: int, M: int) -> bool:
-    """VMEM routing gate: the kernel holds the op buffers (3 x 4M rows),
-    the state strips (~26 rows in+out), and the 8-row column scratch in
-    VMEM. Mosaic's scoped-vmem limit is a hard 16 MB; with the reused
-    single column buffer N=16384/M=8 compiles (the (4,8,N) colbuf variant
-    measured 17.65 MB and did not). Mosaic's own overhead on top of the
-    estimate measured <= 8%."""
+    """Routing gate for the fused scan kernel.
+
+    (a) Alignment: fetch_col DMAs the 8-row block containing g with
+    ``pl.ds(g8, 8)``; if N % 8 != 0 and g lands in a trailing partial
+    block that slice runs past the plane, which is undefined on hardware
+    (interpret-mode tests bypass the DMA, so only this gate protects it).
+    Production map sizes are powers of two, so nothing real is excluded.
+
+    (b) VMEM: the kernel holds the op buffers (3 x 4M rows), the state
+    strips (~26 rows in+out), and the 8-row column scratch in VMEM.
+    Mosaic's scoped-vmem limit is a hard 16 MB; with the reused single
+    column buffer the estimate for N=16384/M=8 is ~15.5 MB (the (4,8,N)
+    colbuf variant measured 17.65 MB and did not compile). Mosaic's own
+    overhead on top of the estimate measured <= 8%."""
+    if N % 8 != 0:
+        return False
     rows = 3 * 4 * M * 2 + 26 + 8         # buffers (in+out), strips, colbuf
     est = rows * N * 4
     return est * 1.05 < 16 * 1024 * 1024
@@ -171,10 +181,14 @@ def _make_kernel(M: int, N: int, known: bool, match_gate: float,
             # ---- association / slot choice ----
             if known:
                 g = ids_ref[0, j]
+                # out-of-range id -> no-op, matching the XLA scan path
+                # (blocked_ekf owns = (j_loc >= 0) & (j_loc < n_local):
+                # the strip write and the grid-pass scatter never match)
+                in_range = (g >= 0) & (g < N)
                 g = jnp.clip(g, 0, N - 1)
                 seen_g = _extract(lane, seen, g) > f32(0.5)
-                is_new = v & ~seen_g
-                do_update = v & seen_g
+                is_new = v & in_range & ~seen_g
+                do_update = v & in_range & seen_g
                 is_overflow = jnp.bool_(False)
             else:
                 act = v & ~stopped
@@ -475,7 +489,7 @@ def deferred_seq_scan(mean_r, mm2, cov_rr, rm6, diag4, seen, n_seen,
         in_specs=[
             smem(), smem(), smem(), smem(), smem(), smem(), smem(),
             vmem(), vmem(), vmem(), vmem(),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             smem(), smem(), smem(), smem(), smem(),

@@ -104,13 +104,15 @@ def _resolve_seq_kernel(seq_kernel, cfg_N: int, M: int, mesh: Mesh,
         return False
     if dtype != jnp.float32:
         return False
-    # MEASURED (r03, bench_seq_kernel.py / bench_production_auto.py on the
-    # chip, grid-plane state): known 8.90 -> 0.29 ms/tick, unknown -> 0.37
-    # at N=2048 (parity 1e-6); 143/148 ticks/s at N=8192. The XLA scan
-    # lowering is launch-bound (~280 ops/measurement); the kernel runs the
-    # whole scan in VMEM — which bounds it: N=16384/M=8 exceeds Mosaic's
-    # 16 MB scoped-vmem limit (measured 17.65 MB), so big maps fall back
-    # to the XLA scan (seq_scan_supported).
+    # MEASURED (r03_seq_kernel_ab.json, on-chip A/B at N=2048): known
+    # 8.90 -> 0.606 ms/tick (14.7x), unknown 9.11 -> 0.689 (13.2x);
+    # device-side parity over every state field ~1e-6 after 16 ticks.
+    # The XLA scan lowering is launch-bound (~280 ops/measurement); the
+    # kernel runs the whole scan in VMEM — which bounds it via the
+    # seq_scan_supported gate (Mosaic scoped-vmem is a hard 16 MB).
+    # With the reused single colbuf, N=16384/M=8 estimates ~15.5 MB and
+    # routes through the kernel; the fallback threshold is N ~= 17k at
+    # M=8 (and any N not a multiple of 8 — DMA alignment).
     from ..ops.pallas.seq_scan import seq_scan_supported
     return (jax.devices()[0].platform not in ("cpu",)
             and seq_scan_supported(cfg_N, M))

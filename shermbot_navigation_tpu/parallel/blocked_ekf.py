@@ -523,6 +523,9 @@ def make_sharded_step(config: EKFConfig, mesh: Mesh, batch: int,
             def body(carry, inp):
                 s, = carry
                 z, v, j = inp
+                # out-of-range id -> full no-op (in particular no phantom
+                # n_seen bump); same rule in the deferred path + kernel
+                v = v & (j >= 0) & (j < N)
                 # owner-broadcast of the slot's seen bit (psum of a bool)
                 shard = jax.lax.axis_index("map")
                 j_loc = j - shard * n_local
@@ -737,6 +740,9 @@ def _make_sharded_deferred(config: EKFConfig, mesh: Mesh, batch: int,
                     z, v = inp
                 Kb, HSb, CRb, gb, kb = bufs
                 if known:
+                    # out-of-range id -> full no-op (no phantom n_seen
+                    # bump); matches the sequential step and the kernel
+                    v = v & (g >= 0) & (g < N)
                     g_loc = g - off
                     owns = (g_loc >= 0) & (g_loc < n_local)
                     g_safe = jnp.clip(g_loc, 0, n_local - 1).astype(jnp.int32)
