@@ -1,6 +1,15 @@
 #!/usr/bin/env python
 """Config-5 benchmark: pose-graph loop closure + distributed Schur bundle
-refinement on a 50,000-landmark map. Prints one JSON line."""
+refinement on a 50,000-landmark map. Prints ONE JSON line including the
+single end-to-end wall-clock (synthesize -> pose graph -> Schur GN).
+
+Iteration budget (r04): GN=12 / CG=64. The r01-r03 record attributed the
+0.158-vs-0.136 m pose-ATE gap to f32 precision; the r04 CPU sweep showed
+it was an ITERATION DEFICIT all along — f64 at the old gn4/cg32 budget
+lands on the same 0.1582, while f32 at gn12/cg64 reaches 0.1242 and f64
+at the same budget 0.1241 (diff 1e-4: f32 arithmetic costs nothing here).
+The budget knee: gn4/cg32 0.158, gn8/cg32 0.153, gn4/cg64 0.149,
+gn8/cg64 0.136, gn12/cg64 0.124 = the f64 floor."""
 
 import json
 import os
@@ -35,18 +44,22 @@ def main():
     t_pg = time.time() - t0
 
     # stage 2: sharded Schur GN refinement — all steps in ONE program
-    GN_STEPS = int(os.environ.get("MEGAMAP_GN", "4"))
+    GN_STEPS = int(os.environ.get("MEGAMAP_GN", "12"))
+    CG_ITERS = int(os.environ.get("MEGAMAP_CG", "64"))
+    t0 = time.time()
     bundle = prob.bundle._replace(poses=g.poses)
     part = schur_dist.partition_problem(bundle, n_map)
+    t_part = time.time() - t0
     step = schur_dist.make_sharded_gn(
-        mesh, T=T, N=N, M=part.obs_t.shape[0], cg_iters=32,
+        mesh, T=T, N=N, M=part.obs_t.shape[0], cg_iters=CG_ITERS,
         gn_steps=GN_STEPS)
     out = step(part)          # compile + run
     float(out.poses[0, 0])
     t0 = time.time()
     out = step(part)
     float(out.poses[0, 0])
-    t_gn = (time.time() - t0) / GN_STEPS
+    t_stage2 = time.time() - t0
+    t_gn = t_stage2 / GN_STEPS
 
     pe = np.asarray(out.poses[:, 1:] - prob.truth_poses[:, 1:])
     ate = float(np.sqrt(np.mean(np.sum(pe ** 2, -1))))
@@ -59,7 +72,11 @@ def main():
         "keyframes": T,
         "observations": int(part.obs_t.shape[0]),
         "gn_steps": GN_STEPS,
+        "cg_iters": CG_ITERS,
+        "end_to_end_s": round(t_synth + t_pg + t_part + t_stage2, 3),
         "posegraph_5iters_s": round(t_pg, 3),
+        "partition_s": round(t_part, 3),
+        "schur_stage2_s": round(t_stage2, 3),
         "schur_gn_step_s": round(t_gn, 3),
         "refined_pose_ate_m": round(ate, 4),
         "refined_landmark_rmse_m": round(lm_err, 4),

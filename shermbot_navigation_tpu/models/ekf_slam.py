@@ -445,7 +445,16 @@ def init_landmark(config: EKFConfig, state: EKFState, z, j) -> EKFState:
     ang = z[1] + mean[0]
     m = jnp.stack([mean[1] + z[0] * jnp.cos(ang),
                    mean[2] + z[0] * jnp.sin(ang)])
-    mean = jax.lax.dynamic_update_slice(mean, m, (3 + 2 * j,))
+    # masked write, NOT dynamic_update_slice: under vmap a batch-dependent
+    # start index (unknown association picks a different slot per world)
+    # lowers to an XLA scatter, which XLA:TPU implements as a SERIAL while
+    # loop over the batch — measured 54 ms/tick at B=256 on course12
+    # (r04 HLO audit, dump_scenario_hlo.py). The where-chain is one
+    # vectorized pass over a (D,) row.
+    idx = 3 + 2 * j
+    lane = jnp.arange(mean.shape[0])
+    mean = jnp.where(lane == idx, m[0],
+                     jnp.where(lane == idx + 1, m[1], mean))
     return EKFState(mean=mean, cov=state.cov, n_seen=state.n_seen,
                     seen=state.seen)
 
@@ -480,11 +489,29 @@ def _analytic_init_cov(state: EKFState, z, j, R) -> jnp.ndarray:
              + jnp.matmul(jnp.matmul(Gz, R, precision=PRECISION), Gz.T,
                           precision=PRECISION))                    # (2, 2)
 
+    # masked writes, NOT dynamic_update_slice: a batch-dependent index
+    # under vmap lowers each slice write to a serial-over-batch while loop
+    # on TPU (three per init = the course12 tick's dominant cost, r04 HLO
+    # audit). Same overwrite order as the slice writes: rows <- cross,
+    # cols <- cross^T, the (idx, idx) 2x2 intersection <- block. D is
+    # tens, so the full-matrix where passes are noise.
     idx = 3 + 2 * j
-    cov = jax.lax.dynamic_update_slice(cov, cross, (idx, jnp.zeros_like(idx)))
-    cov = jax.lax.dynamic_update_slice(
-        cov, cross.T, (jnp.zeros_like(idx), idx))
-    cov = jax.lax.dynamic_update_slice(cov, block, (idx, idx))
+    lane = jnp.arange(cov.shape[0])
+    r0 = (lane == idx)[:, None]
+    r1 = (lane == idx + 1)[:, None]
+    c0 = (lane == idx)[None, :]
+    c1 = (lane == idx + 1)[None, :]
+    inrow = r0 | r1
+    incol = c0 | c1
+    rowv = jnp.where(r0, cross[0][None, :], cross[1][None, :])
+    colv = jnp.where(c0, cross[0][:, None], cross[1][:, None])
+    blockv = jnp.where(
+        r0 & c0, block[0, 0],
+        jnp.where(r0 & c1, block[0, 1],
+                  jnp.where(r1 & c0, block[1, 0], block[1, 1])))
+    cov = jnp.where(inrow & ~incol, rowv, cov)
+    cov = jnp.where(incol & ~inrow, colv, cov)
+    cov = jnp.where(inrow & incol, blockv, cov)
     return cov
 
 
