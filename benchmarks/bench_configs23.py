@@ -79,10 +79,26 @@ def measure_tpu(scenario, batch):
         if dt < best:
             best, outs = dt, o
     ticks = batch * scn.steps / best
-    ate = float(metrics.ate(outs.slam_pose[..., 1:], outs.true_pose[..., 1:]))
+    # per-world ATE quantiles, reduced ON DEVICE (BENCH_NOTES pathology
+    # 8: never fetch big buffers through the tunnel). Batch-pooled RMSE
+    # is NOT reported as "the" ATE: the reference's first-hit gating
+    # under sensor noise diverges ~1% of worlds (measured on CPU: 9-17
+    # of 1024 worlds > 1 m, median 0.133 — the tail the reference's own
+    # README admits as data-association bugs), and pooled RMSE is
+    # dominated by that tail. Median world vs the C++ single-trajectory
+    # deterministic ATE is the apples-to-apples quality row; the tail is
+    # reported alongside.
+    ate_w = jnp.sqrt(jnp.mean(jnp.sum(
+        (outs.slam_pose[..., 1:] - outs.true_pose[..., 1:]) ** 2, -1), -1))
+    ate_med = float(jnp.median(ate_w))
+    ate_p99 = float(jnp.quantile(ate_w, 0.99))
+    frac_diverged = float(jnp.mean((ate_w > 1.0).astype(jnp.float32)))
     ate_odom = float(metrics.ate(outs.odom_pose[..., 1:],
                                  outs.true_pose[..., 1:]))
-    return {"ticks_per_sec": round(ticks, 1), "ate": round(ate, 6),
+    return {"ticks_per_sec": round(ticks, 1),
+            "ate_median_world": round(ate_med, 6),
+            "ate_p99_world": round(ate_p99, 6),
+            "frac_worlds_diverged_gt1m": round(frac_diverged, 5),
             "ate_odom": round(ate_odom, 6), "batch": batch,
             "seconds_per_batch_run": round(best, 3)}
 

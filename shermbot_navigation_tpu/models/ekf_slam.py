@@ -495,23 +495,34 @@ def _analytic_init_cov(state: EKFState, z, j, R) -> jnp.ndarray:
     # audit). Same overwrite order as the slice writes: rows <- cross,
     # cols <- cross^T, the (idx, idx) 2x2 intersection <- block. D is
     # tens, so the full-matrix where passes are noise.
+    # Rank-2 one-hot outer-product rewrite, NOT dynamic_update_slice and
+    # NOT full-matrix where-selects. The slice writes lower (under vmap
+    # with the per-world slot unknown association produces) to XLA
+    # scatters that XLA:TPU runs as SERIAL loops over the batch
+    # (BENCH_NOTES pathology 15, 54 ms/tick on course12); (D, D)
+    # where-select trees per init sent the XLA fusion passes super-
+    # linear at lidar20 size (compile 19 s -> >30 min). Outer products
+    # of one-hot rows are plain mul/add — they fuse flat and vectorize
+    # over the batch.
+    #   Sigma1 = Sigma + sum_p u_p (cross_p - Sigma[idx+p, :])   rows
+    #   Sigma2 = Sigma1 + sum_q (cross_q - Sigma1[:, idx+q]) u_q cols
+    #   Sigma3 = Sigma2 + sum_pq u_p u_q (block - Sigma2 block)  own 2x2
+    dt_ = cov.dtype
     idx = 3 + 2 * j
     lane = jnp.arange(cov.shape[0])
-    r0 = (lane == idx)[:, None]
-    r1 = (lane == idx + 1)[:, None]
-    c0 = (lane == idx)[None, :]
-    c1 = (lane == idx + 1)[None, :]
-    inrow = r0 | r1
-    incol = c0 | c1
-    rowv = jnp.where(r0, cross[0][None, :], cross[1][None, :])
-    colv = jnp.where(c0, cross[0][:, None], cross[1][:, None])
-    blockv = jnp.where(
-        r0 & c0, block[0, 0],
-        jnp.where(r0 & c1, block[0, 1],
-                  jnp.where(r1 & c0, block[1, 0], block[1, 1])))
-    cov = jnp.where(inrow & ~incol, rowv, cov)
-    cov = jnp.where(incol & ~inrow, colv, cov)
-    cov = jnp.where(inrow & incol, blockv, cov)
+    u0 = (lane == idx).astype(dt_)
+    u1 = (lane == idx + 1).astype(dt_)
+    row0 = jax.lax.dynamic_slice_in_dim(cov, idx, 2, axis=0)      # (2, D)
+    cov = (cov + u0[:, None] * (cross[0] - row0[0])[None, :]
+               + u1[:, None] * (cross[1] - row0[1])[None, :])
+    col = jax.lax.dynamic_slice_in_dim(cov, idx, 2, axis=1)       # (D, 2)
+    cov = (cov + (cross[0] - col[:, 0])[:, None] * u0[None, :]
+               + (cross[1] - col[:, 1])[:, None] * u1[None, :])
+    own = jax.lax.dynamic_slice(cov, (idx, idx), (2, 2))          # (2, 2)
+    d = block - own
+    uu = jnp.stack([u0, u1])                                      # (2, D)
+    cov = cov + jnp.einsum("pi,pq,qj->ij", uu, d, uu,
+                           precision=PRECISION)
     return cov
 
 

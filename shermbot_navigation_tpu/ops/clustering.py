@@ -87,23 +87,38 @@ def cluster_scan(ranges, min_range, max_range,
 
     counts = jnp.sum(onehot, axis=0)
 
-    # scatter into the padded buffer (drop overflows)
+    # sort + gather into the padded buffer (drop overflows). NOT a
+    # scatter: `buf.at[flat_idx].set(pts)` with a data-dependent
+    # flat_idx lowers, under vmap, to an XLA scatter that XLA:TPU runs
+    # as a SERIAL loop over batch x rays (BENCH_NOTES pathology 15 —
+    # the batched lidar tick hit the tunnel worker's watchdog). Member
+    # slots (cid * max_points + pos) are unique by construction, so the
+    # inverse map is a sort by destination + one searchsorted gather —
+    # fully vectorized on TPU.
     flat_idx = jnp.where(
         member & (cid < max_clusters) & (pos < max_points),
         cid * max_points + pos,
         max_clusters * max_points,
     )
-    buf = jnp.zeros((max_clusters * max_points + 1, 2), dt)
-    buf = buf.at[flat_idx].set(pts)
-    points = buf[:-1].reshape(max_clusters, max_points, 2)
+    order = jnp.argsort(flat_idx)
+    sk = flat_idx[order]                                   # sorted keys
+    sp = pts[order]                                        # (n, 2)
+    slots = jnp.arange(max_clusters * max_points)
+    loc = jnp.searchsorted(sk, slots)
+    loc_c = jnp.clip(loc, 0, n - 1)
+    hit = (loc < n) & (sk[loc_c] == slots)
+    points = jnp.where(hit[:, None], sp[loc_c],
+                       jnp.zeros((1, 2), dt)
+                       ).reshape(max_clusters, max_points, 2)
 
-    # append ray n-1 to the end of cluster 0 on wrap (ref :169-174)
+    # append ray n-1 to the end of cluster 0 on wrap (ref :169-174) —
+    # masked write, not .at[0, c0] (data-dependent position, same
+    # scatter pathology)
     c0 = jnp.minimum(counts[0], max_points - 1)
-    points = jnp.where(
-        wrap_move,
-        points.at[0, c0].set(pts[n - 1]),
-        points,
-    )
+    row0 = jnp.where(
+        (wrap_move & (jnp.arange(max_points) == c0))[:, None],
+        pts[n - 1][None, :], points[0])
+    points = points.at[0].set(row0)
     counts = counts.at[0].add(jnp.where(wrap_move, 1, 0))
 
     slot = jnp.arange(max_clusters)
