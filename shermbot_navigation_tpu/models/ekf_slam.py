@@ -231,11 +231,27 @@ def predict_dense(config: EKFConfig, state: EKFState, twist, Q) -> EKFState:
 # Measurement model
 # ---------------------------------------------------------------------------
 
+def _slot_onehot(D, j, dtype):
+    """(2, D) one-hot rows selecting state entries ``3+2j`` and ``4+2j``.
+
+    Batch-index-dependent reads/writes in the hot path use one-hot
+    MATVECS against these rows instead of ``dynamic_slice`` — under vmap
+    a variable-offset slice is a gather, and TPU gathers on (B, D, D)
+    operands measured ~1 ms apiece at B=2048 (r04: 3 gathers x 12
+    measurements tripled the course12 tick). A (2, D) matmul is MXU work
+    that fuses with its consumers."""
+    lane = jnp.arange(D)
+    idx = 3 + 2 * j
+    return jnp.stack([(lane == idx).astype(dtype),
+                      (lane == idx + 1).astype(dtype)])
+
+
 def _landmark_delta(mean, j):
     """``(dx, dy, d, sqrt_d)`` from robot to landmark slot ``j`` (0-based),
     with safe denominators (slots may be uninitialized; results masked out
     downstream). Ref slam_library.cpp:150-186 uses 1-based ``j``."""
-    m = jax.lax.dynamic_slice(mean, (3 + 2 * j,), (2,))
+    uu = _slot_onehot(mean.shape[0], j, mean.dtype)
+    m = jnp.matmul(uu, mean, precision=PRECISION)
     dx = m[0] - mean[1]
     dy = m[1] - mean[2]
     d = dx * dx + dy * dy
@@ -325,15 +341,19 @@ def update(config: EKFConfig, state: EKFState, z, j, R) -> EKFState:
     dx, dy, d, sq = _landmark_delta(mean, j)
     H5 = _h5(dx, dy, d, sq)  # (2, 5)
 
-    # Sigma H^T via 5 gathered columns: indices [0, 1, 2, 3+2j, 4+2j]
+    # Sigma H^T via 5 selected columns: indices [0, 1, 2, 3+2j, 4+2j].
+    # The landmark pair comes from a one-hot matvec, NOT dynamic_slice
+    # (a vmapped variable-offset slice is a TPU gather — see
+    # _slot_onehot).
+    uu = _slot_onehot(mean.shape[0], j, dt)                        # (2, D)
     cols_r = cov[:, :3]                                            # (D, 3)
-    cols_m = jax.lax.dynamic_slice_in_dim(cov, 3 + 2 * j, 2, axis=1)  # (D, 2)
+    cols_m = jnp.matmul(cov, uu.T, precision=PRECISION)            # (D, 2)
     cols = jnp.concatenate([cols_r, cols_m], axis=1)               # (D, 5)
     SHt = jnp.matmul(cols, H5.T, precision=PRECISION)              # (D, 2)
 
-    # psi = H Sigma H^T + R: gather the same 5 rows of Sigma H^T
+    # psi = H Sigma H^T + R: the same 5 rows of Sigma H^T
     rows_r = SHt[:3, :]
-    rows_m = jax.lax.dynamic_slice_in_dim(SHt, 3 + 2 * j, 2, axis=0)
+    rows_m = jnp.matmul(uu, SHt, precision=PRECISION)              # (2, 2)
     psi = jnp.matmul(H5, jnp.concatenate([rows_r, rows_m], axis=0),
                      precision=PRECISION) + R                      # (2, 2)
 
@@ -375,12 +395,13 @@ def innovation(config: EKFConfig, state: EKFState, z, j, R):
     R = jnp.asarray(R, dt)
     dx, dy, d, sq = _landmark_delta(mean, j)
     H5 = _h5(dx, dy, d, sq)
+    uu = _slot_onehot(mean.shape[0], j, dt)
     cols_r = cov[:, :3]
-    cols_m = jax.lax.dynamic_slice_in_dim(cov, 3 + 2 * j, 2, axis=1)
+    cols_m = jnp.matmul(cov, uu.T, precision=PRECISION)
     cols = jnp.concatenate([cols_r, cols_m], axis=1)
     SHt = jnp.matmul(cols, H5.T, precision=PRECISION)
     rows_r = SHt[:3, :]
-    rows_m = jax.lax.dynamic_slice_in_dim(SHt, 3 + 2 * j, 2, axis=0)
+    rows_m = jnp.matmul(uu, SHt, precision=PRECISION)
     psi = jnp.matmul(H5, jnp.concatenate([rows_r, rows_m], axis=0),
                      precision=PRECISION) + R
     z_hat = jnp.stack(
@@ -478,7 +499,6 @@ def _analytic_init_cov(state: EKFState, z, j, R) -> jnp.ndarray:
     a = z[1] + mean[0]
     r = z[0]
     sa, ca = jnp.sin(a), jnp.cos(a)
-    Gx = jnp.array([[1.0, 0.0, 0.0], [0.0, 0.0, 0.0]], dt)
     Gx = jnp.stack([jnp.stack([-r * sa, jnp.ones_like(r), jnp.zeros_like(r)]),
                     jnp.stack([r * ca, jnp.zeros_like(r), jnp.ones_like(r)])])
     Gz = jnp.stack([jnp.stack([ca, -r * sa]), jnp.stack([sa, r * ca])])
@@ -489,40 +509,29 @@ def _analytic_init_cov(state: EKFState, z, j, R) -> jnp.ndarray:
              + jnp.matmul(jnp.matmul(Gz, R, precision=PRECISION), Gz.T,
                           precision=PRECISION))                    # (2, 2)
 
-    # masked writes, NOT dynamic_update_slice: a batch-dependent index
-    # under vmap lowers each slice write to a serial-over-batch while loop
-    # on TPU (three per init = the course12 tick's dominant cost, r04 HLO
-    # audit). Same overwrite order as the slice writes: rows <- cross,
-    # cols <- cross^T, the (idx, idx) 2x2 intersection <- block. D is
-    # tens, so the full-matrix where passes are noise.
-    # Rank-2 one-hot outer-product rewrite, NOT dynamic_update_slice and
-    # NOT full-matrix where-selects. The slice writes lower (under vmap
-    # with the per-world slot unknown association produces) to XLA
-    # scatters that XLA:TPU runs as SERIAL loops over the batch
-    # (BENCH_NOTES pathology 15, 54 ms/tick on course12); (D, D)
-    # where-select trees per init sent the XLA fusion passes super-
-    # linear at lidar20 size (compile 19 s -> >30 min). Outer products
-    # of one-hot rows are plain mul/add — they fuse flat and vectorize
-    # over the batch.
-    #   Sigma1 = Sigma + sum_p u_p (cross_p - Sigma[idx+p, :])   rows
-    #   Sigma2 = Sigma1 + sum_q (cross_q - Sigma1[:, idx+q]) u_q cols
-    #   Sigma3 = Sigma2 + sum_pq u_p u_q (block - Sigma2 block)  own 2x2
-    dt_ = cov.dtype
-    idx = 3 + 2 * j
-    lane = jnp.arange(cov.shape[0])
-    u0 = (lane == idx).astype(dt_)
-    u1 = (lane == idx + 1).astype(dt_)
-    row0 = jax.lax.dynamic_slice_in_dim(cov, idx, 2, axis=0)      # (2, D)
-    cov = (cov + u0[:, None] * (cross[0] - row0[0])[None, :]
-               + u1[:, None] * (cross[1] - row0[1])[None, :])
-    col = jax.lax.dynamic_slice_in_dim(cov, idx, 2, axis=1)       # (D, 2)
-    cov = (cov + (cross[0] - col[:, 0])[:, None] * u0[None, :]
-               + (cross[1] - col[:, 1])[:, None] * u1[None, :])
-    own = jax.lax.dynamic_slice(cov, (idx, idx), (2, 2))          # (2, 2)
-    d = block - own
-    uu = jnp.stack([u0, u1])                                      # (2, D)
-    cov = cov + jnp.einsum("pi,pq,qj->ij", uu, d, uu,
-                           precision=PRECISION)
+    # Rank-2 one-hot rewrite of the three block writes — every
+    # alternative measured worse (r04, BENCH_NOTES pathology 15):
+    # dynamic_update_slice with the per-world slot unknown association
+    # produces lowers under vmap to XLA scatters = SERIAL while loops
+    # over the batch on TPU (54 ms/tick on course12); (D, D)
+    # where-select trees sent XLA fusion-pass compile super-linear at
+    # lidar20 size (19 s -> >30 min); batched dynamic_slice READS of
+    # the current rows/cols are TPU gathers (~1 ms apiece at B=2048).
+    # One-hot matvecs express both the reads and the overwrites as 2xD
+    # matmuls: MXU work, fuses flat, vectorizes over the batch.
+    #   Sigma1 = Sigma + u^T (cross - u Sigma)          rows <- cross
+    #   Sigma2 = Sigma1 + (cross^T - Sigma1 u^T) u      cols <- cross^T
+    #   Sigma3 = Sigma2 + u^T (block - u Sigma2 u^T) u  own 2x2 <- block
+    uu = _slot_onehot(cov.shape[0], j, cov.dtype)                 # (2, D)
+    rowcur = jnp.matmul(uu, cov, precision=PRECISION)             # (2, D)
+    cov = cov + jnp.matmul(uu.T, cross - rowcur, precision=PRECISION)
+    colcur = jnp.matmul(cov, uu.T, precision=PRECISION)           # (D, 2)
+    cov = cov + jnp.matmul(cross.T - colcur, uu, precision=PRECISION)
+    own = jnp.matmul(jnp.matmul(uu, cov, precision=PRECISION), uu.T,
+                     precision=PRECISION)                          # (2, 2)
+    cov = cov + jnp.matmul(
+        jnp.matmul(uu.T, block - own, precision=PRECISION), uu,
+        precision=PRECISION)
     return cov
 
 
@@ -654,10 +663,13 @@ def step_measurement(config: EKFConfig, state: EKFState, z, valid, stopped,
         st_init = st_init._replace(cov=cov_init)
     pre = jax.tree_util.tree_map(
         lambda a, b: jnp.where(is_new, a, b), st_init, state)
+    # mask-or, not .at[res.index].set — the batched-index scatter class
+    # again (BENCH_NOTES pathology 15)
     pre = pre._replace(
         n_seen=jnp.where(is_new, state.n_seen + 1, state.n_seen),
-        seen=jnp.where(is_new, state.seen.at[res.index].set(True),
-                       state.seen))
+        seen=state.seen | (is_new
+                           & (jnp.arange(state.seen.shape[0])
+                              == res.index)))
 
     upd = update(config, pre, z, res.index, R)
     new_state = jax.tree_util.tree_map(
