@@ -109,6 +109,10 @@ def main():
                int(os.environ.get("BENCH23_BATCH2", "2048"))),
               ("lidar20_full",
                int(os.environ.get("BENCH23_BATCH3", "1024")))]
+    only = os.environ.get("BENCH23_SCENARIOS")
+    if only:
+        keep = only.split(",")
+        points = [p for p in points if p[0] in keep]
     for scenario, batch in points:
         cpp = measure_cpp(scenario)
         log(f"{scenario}: C++ median {cpp['ticks_per_sec']:.0f} ticks/s "

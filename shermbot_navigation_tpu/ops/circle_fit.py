@@ -109,7 +109,9 @@ def _fit_tail(M, centroid, z_bar, count, valid):
     # smallest positive eigenvalue; reference default index 0 if none positive
     big = jnp.where(pos, eq, jnp.inf)
     k = jnp.where(jnp.any(pos), jnp.argmin(big), 0)
-    Astar = EV[:, k]
+    # one-hot matvec, not EV[:, k] (vmapped gather — pathology 15 family)
+    Astar = jnp.matmul(EV, (jnp.arange(4) == k).astype(dt),
+                       precision=PRECISION)
     # A = solve(Y, Astar); guard the solve for the untaken branch
     Ysafe = Y + (sigma4 < 1e-12) * jnp.eye(4, dtype=dt)
     A_gen = solve4(Ysafe, Astar)

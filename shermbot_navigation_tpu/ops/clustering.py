@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from . import se2
@@ -79,37 +80,38 @@ def cluster_scan(ranges, min_range, max_range,
     ang = se2.deg2rad(idx.astype(dt) * (360.0 / n))
     pts = jnp.stack([ranges * jnp.cos(ang), ranges * jnp.sin(ang)], axis=-1)
 
-    # position within cluster: per-cluster running count
+    # position within cluster: per-cluster running count. pos comes from
+    # a masked row-sum of the one-hot matrix, NOT take_along_axis (a
+    # vmapped data-dependent gather — slow on TPU, BENCH_NOTES
+    # pathology 15 family).
     onehot = (cid[:, None] == jnp.arange(max_clusters)[None, :]) & member[:, None]
     run = jnp.cumsum(onehot.astype(jnp.int32), axis=0) - onehot.astype(jnp.int32)
-    pos = jnp.take_along_axis(
-        run, jnp.clip(cid, 0, max_clusters - 1)[:, None], axis=1)[:, 0]
+    cid_hot = (jnp.clip(cid, 0, max_clusters - 1)[:, None]
+               == jnp.arange(max_clusters)[None, :])
+    pos = jnp.sum(jnp.where(cid_hot, run, 0), axis=1)
 
     counts = jnp.sum(onehot, axis=0)
 
-    # sort + gather into the padded buffer (drop overflows). NOT a
-    # scatter: `buf.at[flat_idx].set(pts)` with a data-dependent
-    # flat_idx lowers, under vmap, to an XLA scatter that XLA:TPU runs
-    # as a SERIAL loop over batch x rays (BENCH_NOTES pathology 15 —
-    # the batched lidar tick hit the tunnel worker's watchdog). Member
-    # slots (cid * max_points + pos) are unique by construction, so the
-    # inverse map is a sort by destination + one searchsorted gather —
-    # fully vectorized on TPU.
+    # one-hot matmul into the padded buffer (drop overflows). NOT a
+    # scatter (`buf.at[flat_idx].set` lowers under vmap to a SERIAL
+    # while loop over batch x rays on TPU — BENCH_NOTES pathology 15;
+    # the batched lidar tick hit the tunnel worker's watchdog), and NOT
+    # an argsort + searchsorted gather (vmapped gathers measured ~1 ms
+    # apiece on TPU at production batch). Member slots
+    # (cid * max_points + pos) are unique by construction, so
+    # ``W[s, r] = [flat_idx[r] == s]`` has at most one 1 per row and
+    # ``W @ pts`` IS the scatter — one (C*P, n) x (n, 2) MXU matmul,
+    # with empty slots landing exactly the zero padding.
     flat_idx = jnp.where(
         member & (cid < max_clusters) & (pos < max_points),
         cid * max_points + pos,
         max_clusters * max_points,
     )
-    order = jnp.argsort(flat_idx)
-    sk = flat_idx[order]                                   # sorted keys
-    sp = pts[order]                                        # (n, 2)
     slots = jnp.arange(max_clusters * max_points)
-    loc = jnp.searchsorted(sk, slots)
-    loc_c = jnp.clip(loc, 0, n - 1)
-    hit = (loc < n) & (sk[loc_c] == slots)
-    points = jnp.where(hit[:, None], sp[loc_c],
-                       jnp.zeros((1, 2), dt)
-                       ).reshape(max_clusters, max_points, 2)
+    W = (flat_idx[None, :] == slots[:, None]).astype(dt)   # (C*P, n)
+    points = jnp.matmul(W, pts,
+                        precision=jax.lax.Precision.HIGHEST
+                        ).reshape(max_clusters, max_points, 2)
 
     # append ray n-1 to the end of cluster 0 on wrap (ref :169-174) —
     # masked write, not .at[0, c0] (data-dependent position, same
@@ -144,8 +146,11 @@ def classify_clusters(clusters: Clusters, std_threshold_deg: float = 10.0):
     m = counts[:, None]
 
     p2 = pts[:, 0, :]                                    # (C, 2) first
+    # p3 = last valid point, via a one-hot masked sum (take_along_axis
+    # is a vmapped gather — slow on TPU, pathology 15 family)
     last = jnp.clip(counts - 1, 0, P - 1)
-    p3 = jnp.take_along_axis(pts, last[:, None, None].repeat(2, 2), axis=1)[:, 0, :]
+    lastmask = (pos == last[:, None])                    # (C, P)
+    p3 = jnp.sum(jnp.where(lastmask[..., None], pts, 0.0), axis=1)
 
     interior = (pos >= 1) & (pos <= m - 2)               # (C, P)
 

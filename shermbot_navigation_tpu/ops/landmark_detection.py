@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from .circle_fit import fit_circles
@@ -43,9 +44,16 @@ def detect_landmarks(ranges, min_range, max_range,
     fits = fit_circles(clusters)
     ok = is_circle & fits.valid & (fits.radius <= max_radius)
 
-    # compact valid detections to the front, preserving order (stable)
+    # compact valid detections to the front, preserving order (stable);
+    # the permutation is applied with a one-hot matmul, not fancy
+    # indexing (a vmapped gather — slow on TPU, BENCH_NOTES pathology 15
+    # family)
     C = ok.shape[0]
     order = jnp.argsort(jnp.where(ok, jnp.arange(C), C), stable=True)
-    positions = fits.center[order]
-    valid = ok[order]
+    perm = (order[:, None] == jnp.arange(C)[None, :]).astype(
+        fits.center.dtype)                                   # (C, C)
+    positions = jnp.matmul(perm, fits.center,
+                           precision=jax.lax.Precision.HIGHEST)
+    valid = jnp.matmul(perm, ok.astype(fits.center.dtype),
+                       precision=jax.lax.Precision.HIGHEST) > 0.5
     return Detections(positions=positions, valid=valid)

@@ -14,6 +14,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# TPU MXU demotes f32 matmuls/einsums to bf16 by default; the Jacobi
+# rotation chain loses orthogonality at 8 mantissa bits. Pin full f32.
+PRECISION = jax.lax.Precision.HIGHEST
+
 
 def inv2(M, eps: float = 1e-30):
     """Closed-form 2x2 inverse (batched)."""
@@ -101,7 +105,7 @@ def solve4(M, v, eps: float = 1e-30):
             m[..., 2, 0] * c3 - m[..., 2, 1] * c1 + m[..., 2, 2] * c0,
         ], axis=-1),
     ], axis=-2) / det[..., None, None]
-    return jnp.einsum("...ij,...j->...i", inv, v)
+    return jnp.einsum("...ij,...j->...i", inv, v, precision=PRECISION)
 
 
 def eigh4_jacobi(M, sweeps: int = 8):
@@ -133,13 +137,27 @@ def eigh4_jacobi(M, sweeps: int = 8):
             G = G.at[..., q, q].set(c)
             G = G.at[..., p, q].set(s)
             G = G.at[..., q, p].set(-s)
-            A = jnp.einsum("...ji,...jk,...kl->...il", G, A, G)
-            V = jnp.einsum("...ij,...jk->...ik", V, G)
+            A = jnp.einsum("...ji,...jk,...kl->...il", G, A, G,
+                           precision=PRECISION)
+            V = jnp.einsum("...ij,...jk->...ik", V, G,
+                           precision=PRECISION)
         return (A, V), None
 
-    (A, V), _ = jax.lax.scan(rotate, (A, V), None, length=sweeps)
+    # unroll: a fixed handful of sweeps as straight-line code — the scan
+    # lowers to a TPU while loop whose per-iteration launches dominate
+    # the tiny 4x4 math (BENCH_NOTES pathology 3)
+    (A, V), _ = jax.lax.scan(rotate, (A, V), None, length=sweeps,
+                             unroll=True)
     lam = jnp.diagonal(A, axis1=-2, axis2=-1)
     order = jnp.argsort(lam, axis=-1)
-    lam_sorted = jnp.take_along_axis(lam, order, axis=-1)
-    V_sorted = jnp.take_along_axis(V, order[..., None, :], axis=-1)
+    # apply the sort permutation with one-hot einsums, not
+    # take_along_axis — a vmapped data-dependent gather is slow on TPU
+    # (BENCH_NOTES pathology 15 family); the 4x4 one-hot contraction is
+    # a fused VPU op
+    onehot = (order[..., :, None]
+              == jnp.arange(4)[None, :]).astype(lam.dtype)       # (...,k,j)
+    lam_sorted = jnp.einsum("...kj,...j->...k", onehot, lam,
+                            precision=PRECISION)
+    V_sorted = jnp.einsum("...ij,...kj->...ik", V, onehot,
+                          precision=PRECISION)
     return lam_sorted, V_sorted
