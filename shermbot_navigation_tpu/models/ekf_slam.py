@@ -578,7 +578,12 @@ def associate(config: EKFConfig, state: EKFState, z, R) -> AssocResult:
     Srr = cov[:3, :3]                            # (3, 3)
     Srm = cov[:3, 3:3 + 2 * N].reshape(3, N, 2).transpose(1, 0, 2)  # (N,3,2)
     rows = cov[3:3 + 2 * N, 3:3 + 2 * N].reshape(N, 2, N, 2)
-    Smm = rows[jnp.arange(N), :, jnp.arange(N), :]          # (N, 2, 2)
+    # block diagonal via a masked reduce, not advanced indexing (a
+    # vmapped data-dependent gather — slow on TPU, pathology 15 family);
+    # N^2 x 4 elements is trivial at these capacities
+    eyeN = jnp.eye(N, dtype=dt)
+    Smm = jnp.einsum("npmq,nm->npq", rows, eyeN,
+                     precision=PRECISION)                   # (N, 2, 2)
     top = jnp.concatenate([jnp.broadcast_to(Srr, (N, 3, 3)), Srm], axis=2)
     bot = jnp.concatenate([Srm.transpose(0, 2, 1), Smm], axis=2)
     S5 = jnp.concatenate([top, bot], axis=1)     # (N, 5, 5)
@@ -600,14 +605,20 @@ def associate(config: EKFConfig, state: EKFState, z, R) -> AssocResult:
     if config.assoc_mode == "nearest":
         # nearest-neighbor gating: the minimum distance decides
         first = jnp.argmin(dist).astype(jnp.int32)
-        any_hit = dist[first] < config.new_gate
-        first_match = dist[first] < config.match_gate
+        d_first = jnp.min(dist)
+        any_hit = d_first < config.new_gate
+        first_match = d_first < config.match_gate
     else:
         # First-hit scan: first slot with dist < new_gate (reference).
+        # d_first via one-hot dot, not dist[first] (vmapped gather)
         lt_new = dist < config.new_gate
         any_hit = jnp.any(lt_new)
         first = jnp.argmax(lt_new).astype(jnp.int32)  # first True (0 if none)
-        first_match = dist[first] < config.match_gate
+        d_first = jnp.sum(
+            jnp.where(jnp.arange(N) == first,
+                      jnp.where(jnp.isfinite(dist), dist, 0.0), 0.0))
+        first_match = jnp.where(any_hit, d_first < config.match_gate,
+                                jnp.bool_(False))
 
     no_seen = state.n_seen == 0
     capacity_full = state.n_seen >= N
