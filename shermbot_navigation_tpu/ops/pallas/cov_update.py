@@ -106,6 +106,13 @@ def fused_kalman_update(cov, sht, psi_inv, dz, mean, tile: int = 512,
             jax.ShapeDtypeStruct((1, D), mean.dtype),
         ],
         input_output_aliases={0: 0},
+        # the 16 MB Mosaic scoped-vmem default rejects the D=4096
+        # serving shape at tile=512 (in+out double-buffered row tiles =
+        # 32 MB; r04 compile failure); v5e has 128 MB VMEM per core, so
+        # raise the limit rather than shrink the tile (large tiles
+        # amortize the per-program overhead better)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(cov, sht_t, psi_inv, jnp.asarray(dz).reshape(1, 2),
       jnp.asarray(mean).reshape(1, D), sht_t)

@@ -37,6 +37,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 INT_MAX = jnp.iinfo(jnp.int32).max
 
+# Mosaic's DEFAULT scoped-vmem limit is 16 MB — a compiler default that
+# guards pipelining headroom, not the hardware (v5e has 128 MB VMEM per
+# core). This kernel is a single-invocation whole-problem kernel with no
+# pipeline, so we raise the limit: at N=16384/M=8 the known variant
+# measures 15.5 MB and the unknown variant 16.03 MB — 28 KB over the
+# default (r04: the known row ran at 80% of the 2-pass floor while
+# unknown fell back to the 12%-of-floor XLA scan for want of those KB).
+_VMEM_LIMIT = 64 * 1024 * 1024
+
 # atan(t)/t as a degree-9 polynomial in t^2 over [0, 1] (Chebyshev-node
 # lstsq fit; max abs error 2.1e-9 < f32 ulp of pi). Mosaic's TC lowering
 # has no atan2 primitive, so the kernel builds it from mul/add/select.
@@ -108,7 +117,7 @@ def seq_scan_supported(N: int, M: int) -> bool:
         return False
     rows = 3 * 4 * M * 2 + 26 + 8         # buffers (in+out), strips, colbuf
     est = rows * N * 4
-    return est * 1.05 < 16 * 1024 * 1024
+    return est * 1.05 < _VMEM_LIMIT
 
 
 def _make_kernel(M: int, N: int, known: bool, match_gate: float,
@@ -499,6 +508,8 @@ def deferred_seq_scan(mean_r, mm2, cov_rr, rm6, diag4, seen, n_seen,
             pltpu.VMEM((8, N), f32),
             pltpu.SemaphoreType.DMA,
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=bool(interpret),
     )(
         mean_r.reshape(1, 3).astype(f32),

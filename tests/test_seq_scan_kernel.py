@@ -129,13 +129,18 @@ def test_unknown_association_decisions_agree_across_gates(seed, gate):
 
 def test_seq_scan_supported_gates():
     """Routing gate: misaligned N (DMA would run past the plane) and
-    VMEM-overflow sizes must both route to the XLA scan."""
+    VMEM-overflow sizes must both route to the XLA scan. The scoped-vmem
+    limit is raised to 64 MB via CompilerParams (r04 — the 16 MB Mosaic
+    default is a pipelining-headroom default, not the hardware; the
+    unknown kernel at N=16384 needs 16.03 MB), so every
+    single-chip-HBM-representable grid routes through the kernel."""
     from shermbot_navigation_tpu.ops.pallas.seq_scan import seq_scan_supported
     assert seq_scan_supported(2048, 8)
-    assert seq_scan_supported(16384, 8)      # fits with the reused colbuf
-    assert not seq_scan_supported(100, 8)    # N % 8 != 0
-    assert not seq_scan_supported(2044, 8)   # N % 8 != 0
-    assert not seq_scan_supported(24576, 8)  # > 16 MB scoped VMEM
+    assert seq_scan_supported(16384, 8)
+    assert seq_scan_supported(24576, 8)       # 23 MB < the raised limit
+    assert not seq_scan_supported(100, 8)     # N % 8 != 0
+    assert not seq_scan_supported(2044, 8)    # N % 8 != 0
+    assert not seq_scan_supported(131072, 8)  # 119 MB > 64 MB limit
 
 
 def test_seq_kernel_rejects_multi_shard():
