@@ -246,6 +246,25 @@ def _slot_onehot(D, j, dtype):
                       (lane == idx + 1).astype(dtype)])
 
 
+# Above this state dim, slot selections on Sigma go back to
+# dynamic_slice: a one-hot matvec READS THE WHOLE COVARIANCE to pick two
+# columns (67 MB at the D=4096 serving scale — measured 10x the tick,
+# r04_dense_serving first attempt), while the serving path is unbatched
+# so its dynamic_slice lowers to a genuine fast slice. The matvec form
+# is for the SMALL-D batched engines, where a per-world slot under vmap
+# would otherwise lower to a serial TPU gather (BENCH_NOTES pathology
+# 15). No production path batches a data-dependent slot at large D (big
+# maps run the blocked engine).
+_ONEHOT_MAX_D = 512
+
+
+def _slot_cols(cov, j, uu):
+    """Sigma's (D, 2) column pair at slot ``j`` (see _ONEHOT_MAX_D)."""
+    if cov.shape[-1] <= _ONEHOT_MAX_D:
+        return jnp.matmul(cov, uu.T, precision=PRECISION)
+    return jax.lax.dynamic_slice_in_dim(cov, 3 + 2 * j, 2, axis=-1)
+
+
 def _landmark_delta(mean, j):
     """``(dx, dy, d, sqrt_d)`` from robot to landmark slot ``j`` (0-based),
     with safe denominators (slots may be uninitialized; results masked out
@@ -347,7 +366,7 @@ def update(config: EKFConfig, state: EKFState, z, j, R) -> EKFState:
     # _slot_onehot).
     uu = _slot_onehot(mean.shape[0], j, dt)                        # (2, D)
     cols_r = cov[:, :3]                                            # (D, 3)
-    cols_m = jnp.matmul(cov, uu.T, precision=PRECISION)            # (D, 2)
+    cols_m = _slot_cols(cov, j, uu)                                # (D, 2)
     cols = jnp.concatenate([cols_r, cols_m], axis=1)               # (D, 5)
     SHt = jnp.matmul(cols, H5.T, precision=PRECISION)              # (D, 2)
 
@@ -397,7 +416,7 @@ def innovation(config: EKFConfig, state: EKFState, z, j, R):
     H5 = _h5(dx, dy, d, sq)
     uu = _slot_onehot(mean.shape[0], j, dt)
     cols_r = cov[:, :3]
-    cols_m = jnp.matmul(cov, uu.T, precision=PRECISION)
+    cols_m = _slot_cols(cov, j, uu)
     cols = jnp.concatenate([cols_r, cols_m], axis=1)
     SHt = jnp.matmul(cols, H5.T, precision=PRECISION)
     rows_r = SHt[:3, :]
@@ -509,16 +528,28 @@ def _analytic_init_cov(state: EKFState, z, j, R) -> jnp.ndarray:
              + jnp.matmul(jnp.matmul(Gz, R, precision=PRECISION), Gz.T,
                           precision=PRECISION))                    # (2, 2)
 
+    idx = 3 + 2 * j
+    if cov.shape[0] > _ONEHOT_MAX_D:
+        # serving-scale states are unbatched: plain slice writes stay
+        # real dynamic-update-slices (and a one-hot form would read the
+        # full 67 MB+ covariance three times) — see _ONEHOT_MAX_D
+        cov = jax.lax.dynamic_update_slice(
+            cov, cross, (idx, jnp.zeros_like(idx)))
+        cov = jax.lax.dynamic_update_slice(
+            cov, cross.T, (jnp.zeros_like(idx), idx))
+        cov = jax.lax.dynamic_update_slice(cov, block, (idx, idx))
+        return cov
     # Rank-2 one-hot rewrite of the three block writes — every
-    # alternative measured worse (r04, BENCH_NOTES pathology 15):
-    # dynamic_update_slice with the per-world slot unknown association
-    # produces lowers under vmap to XLA scatters = SERIAL while loops
-    # over the batch on TPU (54 ms/tick on course12); (D, D)
-    # where-select trees sent XLA fusion-pass compile super-linear at
-    # lidar20 size (19 s -> >30 min); batched dynamic_slice READS of
-    # the current rows/cols are TPU gathers (~1 ms apiece at B=2048).
-    # One-hot matvecs express both the reads and the overwrites as 2xD
-    # matmuls: MXU work, fuses flat, vectorizes over the batch.
+    # alternative measured worse at batched small D (r04, BENCH_NOTES
+    # pathology 15): dynamic_update_slice with the per-world slot
+    # unknown association produces lowers under vmap to XLA scatters =
+    # SERIAL while loops over the batch on TPU (54 ms/tick on
+    # course12); (D, D) where-select trees sent XLA fusion-pass compile
+    # super-linear at lidar20 size (19 s -> >30 min); batched
+    # dynamic_slice READS of the current rows/cols are TPU gathers
+    # (~1 ms apiece at B=2048). One-hot matvecs express both the reads
+    # and the overwrites as 2xD matmuls: MXU work, fuses flat,
+    # vectorizes over the batch.
     #   Sigma1 = Sigma + u^T (cross - u Sigma)          rows <- cross
     #   Sigma2 = Sigma1 + (cross^T - Sigma1 u^T) u      cols <- cross^T
     #   Sigma3 = Sigma2 + u^T (block - u Sigma2 u^T) u  own 2x2 <- block

@@ -109,10 +109,11 @@ def seq_scan_supported(N: int, M: int) -> bool:
 
     (b) VMEM: the kernel holds the op buffers (3 x 4M rows), the state
     strips (~26 rows in+out), and the 8-row column scratch in VMEM.
-    Mosaic's scoped-vmem limit is a hard 16 MB; with the reused single
-    column buffer the estimate for N=16384/M=8 is ~15.5 MB (the (4,8,N)
-    colbuf variant measured 17.65 MB and did not compile). Mosaic's own
-    overhead on top of the estimate measured <= 8%."""
+    The pallas_call raises Mosaic's scoped-vmem limit to _VMEM_LIMIT
+    (the 16 MB default is pipelining headroom, not hardware — r04), so
+    every grid a single chip's HBM can hold routes through the kernel
+    (N=16384/M=8: known 15.5 MB, unknown 16.03 MB measured). Mosaic's
+    own overhead on top of the estimate measured <= 8%."""
     if N % 8 != 0:
         return False
     rows = 3 * 4 * M * 2 + 26 + 8         # buffers (in+out), strips, colbuf
@@ -168,9 +169,9 @@ def _make_kernel(M: int, N: int, known: bool, match_gate: float,
             sub = g - g8
             rid = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
             out = []
-            # one (8, N) buffer reused across the four comps — the
-            # (4, 8, N) variant's extra 1.5 MB is exactly what pushes
-            # N=16384 past Mosaic's 16 MB scoped-vmem limit
+            # one (8, N) buffer reused across the four comps (the
+            # (4, 8, N) variant cost an extra 1.5 MB of scoped VMEM
+            # for nothing — the four DMAs are sequential anyway)
             for c in range(4):
                 copy = pltpu.make_async_copy(
                     mm0_ref.at[swap[c], pl.ds(g8, 8), :], colbuf, sem)

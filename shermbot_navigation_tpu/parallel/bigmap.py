@@ -108,11 +108,11 @@ def _resolve_seq_kernel(seq_kernel, cfg_N: int, M: int, mesh: Mesh,
     # 8.90 -> 0.606 ms/tick (14.7x), unknown 9.11 -> 0.689 (13.2x);
     # device-side parity over every state field ~1e-6 after 16 ticks.
     # The XLA scan lowering is launch-bound (~280 ops/measurement); the
-    # kernel runs the whole scan in VMEM — which bounds it via the
-    # seq_scan_supported gate (Mosaic scoped-vmem is a hard 16 MB).
-    # With the reused single colbuf, N=16384/M=8 estimates ~15.5 MB and
-    # routes through the kernel; the fallback threshold is N ~= 17k at
-    # M=8 (and any N not a multiple of 8 — DMA alignment).
+    # kernel runs the whole scan in VMEM, gated by seq_scan_supported
+    # (r04: the pallas_call raises Mosaic's scoped-vmem limit to 64 MB,
+    # so every grid that fits one chip's HBM routes through the kernel;
+    # only misaligned N — not a multiple of 8, DMA alignment — falls
+    # back to the XLA scan on one shard).
     from ..ops.pallas.seq_scan import seq_scan_supported
     return (jax.devices()[0].platform not in ("cpu",)
             and seq_scan_supported(cfg_N, M))
