@@ -113,7 +113,10 @@ def run_N(N):
     # exceeds the HBM spec there and the HBM roofline does not bind.
     # Only HBM-streaming sizes can violate the spec ceiling.
     VMEM_BYTES = 128 * 1024 * 1024
-    vmem_resident = GRID < VMEM_BYTES // 2     # carry + result live there
+    # the scan carry aliases in/out, so one grid + operands must fit;
+    # measured boundary: N=2048 (67 MB) behaves resident (862-922 GB/s
+    # implied), N=8192 (1 GB) streams at the HBM ceiling
+    vmem_resident = GRID < int(VMEM_BYTES * 0.8)
 
     def record(name, t_iter, passes):
         gbps = passes * GRID / t_iter / 1e9
