@@ -329,9 +329,14 @@ def _pallas_update_mode(config: EKFConfig, D: int, dtype):
                 f"pallas_update='on' needs f32 and D % 128 == 0 (set "
                 f"pad_state_to); got D={D}, {dtype}")
         return "tpu" if jax.default_backend() == "tpu" else "interpret"
-    # auto: only where the fused pass wins — big lane-aligned states on TPU
-    if aligned and D >= 1024 and jax.default_backend() == "tpu":
-        return "tpu"
+    # auto: DEMOTED to the XLA schedule (r04). The clean A/B at D=4096
+    # serving scale — symmetrize off, chained dispatches, dependent-
+    # scalar sync (r04_dense_serving.json) — measured the XLA rank-2
+    # subtract at 268 GB/s vs the kernel's 140 GB/s (0.52x): XLA's
+    # fusion already streams this op near the session ceiling and the
+    # kernel's tile pipeline does not. (r01's 1.19x came from a harness
+    # carrying both timing traps, BENCH_NOTES 14.) 'on' keeps the
+    # kernel reachable; interpret-mode tests still pin its math.
     return None
 
 
