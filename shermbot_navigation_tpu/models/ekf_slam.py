@@ -559,16 +559,22 @@ def _analytic_init_cov(state: EKFState, z, j, R) -> jnp.ndarray:
     #   Sigma2 = Sigma1 + (cross^T - Sigma1 u^T) u      cols <- cross^T
     #   Sigma3 = Sigma2 + u^T (block - u Sigma2 u^T) u  own 2x2 <- block
     uu = _slot_onehot(cov.shape[0], j, cov.dtype)                 # (2, D)
-    rowcur = jnp.matmul(uu, cov, precision=PRECISION)             # (2, D)
-    cov = cov + jnp.matmul(uu.T, cross - rowcur, precision=PRECISION)
-    colcur = jnp.matmul(cov, uu.T, precision=PRECISION)           # (D, 2)
-    cov = cov + jnp.matmul(cross.T - colcur, uu, precision=PRECISION)
-    own = jnp.matmul(jnp.matmul(uu, cov, precision=PRECISION), uu.T,
-                     precision=PRECISION)                          # (2, 2)
-    cov = cov + jnp.matmul(
-        jnp.matmul(uu.T, block - own, precision=PRECISION), uu,
-        precision=PRECISION)
-    return cov
+    one = jnp.asarray(1.0, cov.dtype)
+    r0, r1 = uu[0][:, None], uu[1][:, None]                       # (D, 1)
+    c0, c1 = uu[0][None, :], uu[1][None, :]                       # (1, D)
+    inrow = r0 + r1
+    incol = c0 + c1
+    rowv = r0 * cross[0][None, :] + r1 * cross[1][None, :]
+    colv = cross[0][:, None] * c0 + cross[1][:, None] * c1
+    blockv = ((r0 * c0) * block[0, 0] + (r0 * c1) * block[0, 1]
+              + (r1 * c0) * block[1, 0] + (r1 * c1) * block[1, 1])
+    # overwrite semantics via exact 0/1 mask arithmetic — values are
+    # products with exact 1.0/0.0, so this equals the slice writes
+    # bitwise
+    return (cov * (one - inrow) * (one - incol)
+            + rowv * (one - incol)
+            + colv * (one - inrow)
+            + blockv)
 
 
 # ---------------------------------------------------------------------------
