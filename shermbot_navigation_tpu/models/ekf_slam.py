@@ -259,9 +259,16 @@ _ONEHOT_MAX_D = 512
 
 
 def _slot_cols(cov, j, uu):
-    """Sigma's (D, 2) column pair at slot ``j`` (see _ONEHOT_MAX_D)."""
+    """Sigma's (D, 2) column pair at slot ``j`` (see _ONEHOT_MAX_D).
+
+    The small-D form is a masked REDUCE, not a matmul: a (D, D) x (D, 2)
+    one-hot matmul lowers to a TPU convolution with pad/copy layout
+    overhead (the compiled course12 tick carried 252 convs + 724 MB of
+    layout copies); `sum(cov * row_mask)` fuses into one elementwise
+    pass."""
     if cov.shape[-1] <= _ONEHOT_MAX_D:
-        return jnp.matmul(cov, uu.T, precision=PRECISION)
+        return jnp.stack([jnp.sum(cov * uu[0][None, :], axis=-1),
+                          jnp.sum(cov * uu[1][None, :], axis=-1)], axis=-1)
     return jax.lax.dynamic_slice_in_dim(cov, 3 + 2 * j, 2, axis=-1)
 
 
@@ -372,14 +379,22 @@ def update(config: EKFConfig, state: EKFState, z, j, R) -> EKFState:
     uu = _slot_onehot(mean.shape[0], j, dt)                        # (2, D)
     cols_r = cov[:, :3]                                            # (D, 3)
     cols_m = _slot_cols(cov, j, uu)                                # (D, 2)
-    cols = jnp.concatenate([cols_r, cols_m], axis=1)               # (D, 5)
-    SHt = jnp.matmul(cols, H5.T, precision=PRECISION)              # (D, 2)
+    # SHt as a 5-term broadcast combination (tiny matmuls lower to TPU
+    # convolutions with layout overhead; broadcasts fuse)
+    SHt = jnp.stack(
+        [cols_r[:, 0] * H5[q, 0] + cols_r[:, 1] * H5[q, 1]
+         + cols_r[:, 2] * H5[q, 2]
+         + cols_m[:, 0] * H5[q, 3] + cols_m[:, 1] * H5[q, 4]
+         for q in range(2)], axis=-1)                              # (D, 2)
 
     # psi = H Sigma H^T + R: the same 5 rows of Sigma H^T
-    rows_r = SHt[:3, :]
-    rows_m = jnp.matmul(uu, SHt, precision=PRECISION)              # (2, 2)
-    psi = jnp.matmul(H5, jnp.concatenate([rows_r, rows_m], axis=0),
-                     precision=PRECISION) + R                      # (2, 2)
+    rows_r = SHt[:3, :]                                            # (3, 2)
+    rows_m = jnp.stack([jnp.sum(SHt * uu[k][:, None], axis=0)
+                        for k in range(2)])                        # (2, 2)
+    rows5 = jnp.concatenate([rows_r, rows_m], axis=0)              # (5, 2)
+    psi = jnp.stack(
+        [jnp.stack([jnp.sum(H5[q] * rows5[:, r]) for r in range(2)])
+         for q in range(2)]) + R                                   # (2, 2)
 
     z_hat = jnp.stack(
         [sq, se2.normalize_angle(jnp.arctan2(dy, dx) - mean[0])])
@@ -396,10 +411,14 @@ def update(config: EKFConfig, state: EKFState, z, j, R) -> EKFState:
             cov, SHt, _inv2x2(psi), dz, mean, tile=tile,
             interpret=(mode == "interpret"))
     else:
-        K = jnp.matmul(SHt, _inv2x2(psi), precision=PRECISION)     # (D, 2)
-        mean = mean + jnp.matmul(K, dz, precision=PRECISION)
+        inv = _inv2x2(psi)
+        # gain + rank-2 downdate as broadcasts (see SHt comment)
+        K0 = SHt[:, 0] * inv[0, 0] + SHt[:, 1] * inv[1, 0]         # (D,)
+        K1 = SHt[:, 0] * inv[0, 1] + SHt[:, 1] * inv[1, 1]
+        mean = mean + K0 * dz[0] + K1 * dz[1]
         # (I - K H) Sigma = Sigma - K (H Sigma); H Sigma = (Sigma H^T)^T
-        cov = cov - jnp.matmul(K, SHt.T, precision=PRECISION)
+        cov = cov - (K0[:, None] * SHt[:, 0][None, :]
+                     + K1[:, None] * SHt[:, 1][None, :])
 
     mean = mean.at[0].set(se2.normalize_angle(mean[0]))
     if config.symmetrize:
