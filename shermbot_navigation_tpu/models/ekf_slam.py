@@ -633,33 +633,55 @@ def associate(config: EKFConfig, state: EKFState, z, R) -> AssocResult:
     dy = m[:, 1] - mean[2]
     d = jnp.maximum(dx * dx + dy * dy, jnp.asarray(1e-12, dt))
     sq = jnp.sqrt(d)
-    H5 = _h5(dx, dy, d, sq)                      # (N, 2, 5)
 
-    # Gather per-landmark 5x5 covariance sub-blocks.
-    Srr = cov[:3, :3]                            # (3, 3)
-    Srm = cov[:3, 3:3 + 2 * N].reshape(3, N, 2).transpose(1, 0, 2)  # (N,3,2)
+    # psi = H5 S5 H5^T + R over all N slots, in COMPONENT arrays — the
+    # same w-chain algebra as the blocked engine's _associate_comp and
+    # the seq-scan kernel's unknown branch. The (N, 5, 5)/(N, 2, 2)
+    # einsum tensors this replaces pad their trailing dims onto (8, 128)
+    # TPU tiles (pathology 9) and lower to convolutions per measurement.
+    crr = cov[:3, :3]                                   # 3x3 scalars
+    Srm = cov[:3, 3:3 + 2 * N].reshape(3, N, 2)         # rm comps (3,N,2)
     rows = cov[3:3 + 2 * N, 3:3 + 2 * N].reshape(N, 2, N, 2)
-    # block diagonal via a masked reduce, not advanced indexing (a
-    # vmapped data-dependent gather — slow on TPU, pathology 15 family);
-    # N^2 x 4 elements is trivial at these capacities
+    # own-block diagonal via a masked reduce, not advanced indexing (a
+    # vmapped data-dependent gather — slow on TPU, pathology 15 family)
     eyeN = jnp.eye(N, dtype=dt)
     Smm = jnp.einsum("npmq,nm->npq", rows, eyeN,
-                     precision=PRECISION)                   # (N, 2, 2)
-    top = jnp.concatenate([jnp.broadcast_to(Srr, (N, 3, 3)), Srm], axis=2)
-    bot = jnp.concatenate([Srm.transpose(0, 2, 1), Smm], axis=2)
-    S5 = jnp.concatenate([top, bot], axis=1)     # (N, 5, 5)
+                     precision=PRECISION)               # (N, 2, 2)
+    a_ = dx / sq
+    b_ = dy / sq
+    c_ = dy / d
+    e_ = -dx / d
+    zero = jnp.zeros_like(dx)
+    one = jnp.ones_like(dx)
+    w = ((zero, -a_, -b_, a_, b_), (-one, c_, e_, -c_, -e_))
+    rm = [Srm[i, :, p] for i in range(3) for p in range(2)]   # [i*2+p]
+    dg = [Smm[:, p, q] for p in range(2) for q in range(2)]   # [p*2+q]
+    psi_c = [[None, None], [None, None]]
+    for l in range(2):
+        wl = w[l]
+        u = []
+        for k in range(3):
+            u.append(crr[k, 0] * wl[0] + crr[k, 1] * wl[1]
+                     + crr[k, 2] * wl[2]
+                     + rm[k * 2 + 0] * wl[3] + rm[k * 2 + 1] * wl[4])
+        for p in range(2):
+            u.append(rm[0 + p] * wl[0] + rm[2 + p] * wl[1]
+                     + rm[4 + p] * wl[2]
+                     + dg[p * 2 + 0] * wl[3] + dg[p * 2 + 1] * wl[4])
+        for p in range(2):
+            wp = w[p]
+            psi_c[p][l] = (wp[0] * u[0] + wp[1] * u[1] + wp[2] * u[2]
+                           + wp[3] * u[3] + wp[4] * u[4]) + R[p, l]
 
-    psi = jnp.einsum("nij,njk,nlk->nil", H5, S5, H5,
-                     precision=PRECISION) + R    # (N, 2, 2)
-
-    z_hat = jnp.stack(
-        [sq, se2.normalize_angle(jnp.arctan2(dy, dx) - mean[0])], axis=-1)
-    dz = z[None, :] - z_hat                      # (N, 2) raw, like the ref
+    z_hat1 = se2.normalize_angle(jnp.arctan2(dy, dx) - mean[0])
+    dz0 = z[0] - sq                              # (N,) raw, like the ref
+    dz1 = z[1] - z_hat1
     if config.wrap_innovation:
-        dz = dz.at[:, 1].set(se2.normalize_angle(dz[:, 1]))
+        dz1 = se2.normalize_angle(dz1)
 
-    dist = jnp.einsum("ni,nij,nj->n", dz, _inv2x2(psi), dz,
-                      precision=PRECISION)
+    det = psi_c[0][0] * psi_c[1][1] - psi_c[0][1] * psi_c[1][0]
+    dist = (dz0 * (psi_c[1][1] * dz0 - psi_c[0][1] * dz1)
+            + dz1 * (-psi_c[1][0] * dz0 + psi_c[0][0] * dz1)) / det
     seen_mask = state.seen
     dist = jnp.where(seen_mask, dist, jnp.inf)
 
