@@ -115,40 +115,54 @@ def eigh4_jacobi(M, sweeps: int = 8):
 
     Returns (eigenvalues ascending, eigenvectors as columns) matching
     ``jnp.linalg.eigh``'s convention.
+
+    COMPONENT rotation body: closed-form Givens row/col updates on 16+16
+    flat (...,)-shaped arrays, not (..., 4, 4) einsums — a batched 4x4
+    einsum lowers to a TPU convolution whose trailing dims pad onto
+    (8, 128) tiles (~64x HBM inflation, pathology 9; the lidar tick
+    carried 144 of them). The sweep loop is a lax.scan with the body
+    compiled ONCE: fully unrolling the rotation chain hits an XLA:CPU
+    compile cliff (1/2/3 sweeps compile in 0.3/1/2 s; 4+ hang > 9 min,
+    optimization barriers do not help — recorded negative, r04).
     """
     dt = M.dtype
-    A = 0.5 * (M + jnp.swapaxes(M, -1, -2))
-    V = jnp.broadcast_to(jnp.eye(4, dtype=dt), A.shape)
+    Ms = 0.5 * (M + jnp.swapaxes(M, -1, -2))
     pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    A0 = [Ms[..., i, j] for i in range(4) for j in range(4)]
+    eye = [jnp.full_like(Ms[..., 0, 0], 1.0 if i == j else 0.0)
+           for i in range(4) for j in range(4)]
 
-    def rotate(carry, _):
-        A, V = carry
+    def sweep(carry, _):
+        flat = list(carry)
+        A = [[flat[i * 4 + j] for j in range(4)] for i in range(4)]
+        V = [[flat[16 + i * 4 + j] for j in range(4)] for i in range(4)]
         for (p, q) in pairs:
-            app = A[..., p, p]
-            aqq = A[..., q, q]
-            apq = A[..., p, q]
-            # Jacobi rotation angle: theta = 0.5 atan2(2 apq, aqq - app)
-            theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
+            theta = 0.5 * jnp.arctan2(2.0 * A[p][q], A[q][q] - A[p][p])
             c = jnp.cos(theta)
             s = jnp.sin(theta)
-            # build the Givens rotation as a dense 4x4 (batched)
-            G = jnp.broadcast_to(jnp.eye(4, dtype=dt), A.shape).copy()
-            G = G.at[..., p, p].set(c)
-            G = G.at[..., q, q].set(c)
-            G = G.at[..., p, q].set(s)
-            G = G.at[..., q, p].set(-s)
-            A = jnp.einsum("...ji,...jk,...kl->...il", G, A, G,
-                           precision=PRECISION)
-            V = jnp.einsum("...ij,...jk->...ik", V, G,
-                           precision=PRECISION)
-        return (A, V), None
+            # B = G^T A (rows p, q), then A' = B G (cols p, q); V' = V G.
+            # G = I except G[pp]=G[qq]=c, G[pq]=s, G[qp]=-s.
+            Bp = [c * A[p][k] - s * A[q][k] for k in range(4)]
+            Bq = [s * A[p][k] + c * A[q][k] for k in range(4)]
+            B = [Bp if i == p else Bq if i == q else A[i]
+                 for i in range(4)]
+            A = [[(c * B[i][p] - s * B[i][q]) if j == p
+                  else (s * B[i][p] + c * B[i][q]) if j == q
+                  else B[i][j]
+                  for j in range(4)] for i in range(4)]
+            V = [[(c * V[i][p] - s * V[i][q]) if j == p
+                  else (s * V[i][p] + c * V[i][q]) if j == q
+                  else V[i][j]
+                  for j in range(4)] for i in range(4)]
+        return tuple(x for row in A for x in row) + tuple(
+            x for row in V for x in row), None
 
-    # unroll: a fixed handful of sweeps as straight-line code — the scan
-    # lowers to a TPU while loop whose per-iteration launches dominate
-    # the tiny 4x4 math (BENCH_NOTES pathology 3)
-    (A, V), _ = jax.lax.scan(rotate, (A, V), None, length=sweeps,
-                             unroll=True)
-    lam = jnp.diagonal(A, axis1=-2, axis2=-1)
+    flat, _ = jax.lax.scan(sweep, tuple(A0) + tuple(eye), None,
+                           length=sweeps)
+    lam = jnp.stack([flat[i * 4 + i] for i in range(4)], axis=-1)
+    V = jnp.stack(
+        [jnp.stack([flat[16 + i * 4 + j] for j in range(4)], axis=-1)
+         for i in range(4)], axis=-2)
     order = jnp.argsort(lam, axis=-1)
     # apply the sort permutation with one-hot einsums, not
     # take_along_axis — a vmapped data-dependent gather is slow on TPU
