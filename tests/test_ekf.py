@@ -146,6 +146,45 @@ class TestAnalyticInit:
                                    rtol=1e-4, atol=1e-6)
 
 
+class TestMaskArithInit:
+    def test_masked_write_matches_slice_write_bitwise(self):
+        """The small-D mask-arithmetic covariance overwrite (r04 — no
+        scatters, no selects, no convs) must equal plain slice writes
+        BITWISE: every written entry is a product with exact 1.0/0.0,
+        every untouched entry is cov * 1.0 * 1.0. Sweep all slots."""
+        cfg = ekf.EKFConfig(num_landmarks=6)
+        st = mkstate(cfg, n_seen=4)
+        z = jnp.array([0.8, 0.3], st.mean.dtype)
+        for jj in range(6):
+            j = jnp.int32(jj)
+            got = ekf._analytic_init_cov(st, z, j, R2)
+            # slice-write oracle with the same cross/block ingredients
+            mean, cov = st.mean, st.cov
+            a = z[1] + mean[0]
+            r = z[0]
+            Gx = jnp.stack(
+                [jnp.stack([-r * jnp.sin(a), jnp.ones_like(r),
+                            jnp.zeros_like(r)]),
+                 jnp.stack([r * jnp.cos(a), jnp.zeros_like(r),
+                            jnp.ones_like(r)])])
+            Gz = jnp.stack(
+                [jnp.stack([jnp.cos(a), -r * jnp.sin(a)]),
+                 jnp.stack([jnp.sin(a), r * jnp.cos(a)])])
+            P = ekf.PRECISION
+            R_ = jnp.asarray(R2, cov.dtype)
+            cross = jnp.matmul(Gx, cov[:3, :], precision=P)
+            block = (jnp.matmul(jnp.matmul(Gx, cov[:3, :3], precision=P),
+                                Gx.T, precision=P)
+                     + jnp.matmul(jnp.matmul(Gz, R_, precision=P), Gz.T,
+                                  precision=P))
+            idx = 3 + 2 * jj
+            want = np.array(cov)
+            want[idx:idx + 2, :] = np.asarray(cross)
+            want[:, idx:idx + 2] = np.asarray(cross).T
+            want[idx:idx + 2, idx:idx + 2] = np.asarray(block)
+            np.testing.assert_array_equal(np.asarray(got), want)
+
+
 class TestAssociate:
     def test_empty_map_new(self):
         st = mkstate(n_seen=0)
