@@ -680,6 +680,11 @@ def associate(config: EKFConfig, state: EKFState, z, R) -> AssocResult:
         dz1 = se2.normalize_angle(dz1)
 
     det = psi_c[0][0] * psi_c[1][1] - psi_c[0][1] * psi_c[1][0]
+    # same |det| floor as _inv2x2: a singular psi at a seen slot must yield
+    # a huge finite distance, not NaN — in nearest mode a NaN propagates
+    # through min/argmin and suppresses real matches at OTHER slots
+    # (advisor r04)
+    det = jnp.where(jnp.abs(det) < 1e-30, jnp.full_like(det, 1e-30), det)
     dist = (dz0 * (psi_c[1][1] * dz0 - psi_c[0][1] * dz1)
             + dz1 * (-psi_c[1][0] * dz0 + psi_c[0][0] * dz1)) / det
     seen_mask = state.seen
@@ -811,7 +816,11 @@ def known_association_step(config: EKFConfig, state: EKFState, twist, zs,
         st, stopped = carry
         z, valid, j = inp
         overflow = j >= config.num_landmarks
-        valid = valid & ~stopped & ~overflow
+        # a NEGATIVE id is a plain no-op like the blocked engine / seq-scan
+        # kernel (advisor r04: ungated, idx = 3+2j landed on the robot x/y
+        # lanes); only at-or-beyond-capacity ids keep the reference's
+        # sticky stop (ref slam.cpp:301-316)
+        valid = valid & ~stopped & ~overflow & (j >= 0)
         stopped = stopped | overflow
         seen = st.seen[j]
         is_new = valid & ~seen

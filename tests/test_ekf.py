@@ -255,6 +255,22 @@ class TestAssociate:
         assert int(res_nn.outcome) == ekf.ASSOC_MATCH
         assert int(res_nn.index) == 1
 
+    def test_singular_psi_yields_finite_distances(self):
+        """A singular psi at a seen slot must NOT produce NaN distances
+        (advisor r04: the componentized Mahalanobis divided by the raw
+        determinant; 0/0 NaN poisons min/argmin in nearest mode and
+        suppresses real matches at other slots). Degenerate fixture: zero
+        covariance + zero R makes every psi exactly singular."""
+        for mode in ("first_hit", "nearest"):
+            cfg = dataclasses.replace(CFG64, assoc_mode=mode)
+            st = mkstate(n_seen=3)
+            st = st._replace(cov=jnp.zeros_like(st.cov))
+            z = ekf.predicted_measurement(st, jnp.int32(1))
+            res = ekf.associate(cfg, st, z, 0.0 * R2)
+            d = np.asarray(res.distances)
+            assert np.isfinite(d[:3]).all(), d
+            assert int(res.outcome) != ekf.ASSOC_NEW  # match not suppressed
+
     def test_overflow(self):
         cfg = ekf.EKFConfig(num_landmarks=3, analytic_init=False,
                             symmetrize=False)
@@ -298,6 +314,28 @@ class TestStep:
         st3 = ekf.known_association_step(cfg, st, tw, zs, valid, ids_ok, Q3,
                                          R2)
         assert int(st3.n_seen) == 2
+
+    def test_known_assoc_negative_id_is_noop(self):
+        """A NEGATIVE id must be a plain no-op like the blocked engine
+        (blocked_ekf: ``v & (j >= 0) & (j < N)``) and the seq-scan kernel —
+        NOT a masked write at idx = 3+2j = 1 overwriting the robot x/y
+        lanes, and NOT a sticky stop (advisor r04)."""
+        cfg = ekf.EKFConfig(num_landmarks=2)
+        pose = jnp.array([0.1, 0.5, -0.2], jnp.float64)
+        st = ekf.init(cfg, pose, dtype=jnp.float64)
+        zs = jnp.array([[0.7, 0.5], [0.9, -1.0]], jnp.float64)
+        valid = jnp.array([True, True])
+        ids = jnp.array([-1, 0], jnp.int32)
+        tw = jnp.zeros(3, jnp.float64)
+        st2 = ekf.known_association_step(cfg, st, tw, zs, valid, ids,
+                                         0.0 * Q3, R2)
+        # id -1 ignored entirely; id 0 still processed (no sticky stop)
+        assert int(st2.n_seen) == 1
+        assert bool(st2.seen[0]) and not bool(st2.seen[1])
+        # robot x/y untouched by the bad id (twist 0, Q 0, and the one
+        # landmark init does not move the robot)
+        np.testing.assert_allclose(np.asarray(st2.mean[1:3]),
+                                   np.asarray(pose[1:3]), atol=1e-12)
 
     def test_landmark_convergence_known_assoc(self):
         """Drive a circle past two landmarks with noiseless measurements:

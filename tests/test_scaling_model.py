@@ -13,10 +13,14 @@ collectives per measurement and every element of tuple-shaped ops:
 - the deferred step moves O(1) bytes per measurement (owner-broadcast
   packets) and exactly two O(M*N) all_gathers per tick (strip assembly);
 - nothing anywhere gathers O(N^2);
-- the pessimistic 2-host roofline clears the targets: sequential >= 0.79
-  at config-4 size, deferred >= 0.85 at N=32768 — the smallest size whose
-  grid (16 N^2 bytes = 17 GB) exceeds one v5e's HBM, i.e. where a second
-  host is mandatory rather than optional.
+- the DEFERRED step is the designated (and only) production 2-host path
+  (BENCH_NOTES "Designation"): the pessimistic 2-host roofline pins it
+  >= 0.85 at N=32768 — the smallest size whose grid (16 N^2 bytes = 17 GB)
+  exceeds one v5e's HBM, i.e. where a second host is mandatory rather
+  than optional — rising monotonically with N;
+- secondary property (NOT a target-bearing path): the sequential step,
+  kept for its per-measurement semantics, still clears >= 0.79 at
+  config-4 size under the same pessimistic DCN assumption.
 
 Runs on the 8 virtual CPU devices from conftest.
 """
