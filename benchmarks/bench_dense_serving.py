@@ -1,25 +1,38 @@
 #!/usr/bin/env python
-"""Serving-scale DENSE EKF on one chip: the fused Pallas Kalman update
-(ops/pallas/cov_update.py) measured as the production path it routes for —
-single-robot serving at large D (VERDICT r02 item 3; the op is the
-reference's ``update``, slam_library.cpp:263-282, at scale).
+"""Serving-scale single-robot EKF on one chip: the r05 three-way A/B.
 
-Workload: N=2046 landmarks, all initialized (a converged map being
-SERVED), state dim 3+2N = 4095 padded to 4096 (``pad_state_to``, the
-lane-aligned shape the kernel wants). Per tick: predict + M=8 sequential
-known-id updates via the production ``known_association_step``. The A/B is
-``pallas_update='auto'`` (which routes D=4096 f32 on TPU through the fused
-kernel) vs ``'off'`` (XLA schedule) — same session, two scan depths so the
-tunnel dispatch floor separates out of the per-tick time:
+Workload (identical across modes): N=2048 landmarks, all initialized (a
+converged map being SERVED; D = 3+2N = 4099), per tick predict + M=8
+sequential known-id Kalman updates with zero-innovation measurements
+(the state stays numerically put while every update does full-rank
+work). The op is the reference's ``update`` (slam_library.cpp:263-282)
+at serving scale.
 
-    t_call(T) = floor + T * t_tick.
+Modes:
 
-Unlike the grid kernel (demoted — see bigmap._resolve_grid_kernel), the
-dense state is already a flat (D, D) array, so the kernel's operand layout
-costs no relayout copy.
+- ``dense_xla``    — the dense engine, XLA per-update schedule
+                     (pallas_update='off'; the r04 production routing).
+                     Sigma is read+written once PER UPDATE.
+- ``dense_kernel`` — the dense engine routed through the demoted fused
+                     Kalman-update kernel ('on', D padded to 4224); kept
+                     for the record (r04: 0.52x the XLA schedule).
+- ``serving``      — pipeline/serving.py: the deferred whole-tick path
+                     (seq-scan kernel + rank-2M grid kernel, auto-routed
+                     as in config-4 production). The grid is read+written
+                     once PER TICK.
+
+Ceiling accounting (VERDICT r04 item 1): the serving tick's 2-pass grid
+floor is 2 x 16N^2 bytes; it is quoted against BOTH the HBM spec
+(819 GB/s — the binding floor for call-per-tick serving, where the state
+persists in HBM between program invocations) and the same-session
+measured VMEM-regime stream rate at the identical byte count (the
+in-scan regime: at N=2048 the 67 MB grid fits VMEM and XLA keeps it
+there across scan iterations). Timing uses two scan depths with chained
+states (tunnel traps 14a/b solved: sync on a scalar depending on the
+grid; every timed dispatch is a unique (program, input)).
 
 Run ALONE: python benchmarks/bench_dense_serving.py
-Prints one JSON line.
+Prints one JSON line -> redirect to benchmarks/results/r05_dense_serving.json
 """
 
 import json
@@ -36,17 +49,18 @@ import numpy as np
 
 
 def log(msg):
-    print(msg, file=sys.stderr, flush=True)
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr, flush=True)
 
 
-N = int(os.environ.get("DENSE_N", 2046))     # D = 3 + 2N = 4095 -> pad 4096
-PAD = int(os.environ.get("DENSE_PAD", 4096))
+N = int(os.environ.get("DENSE_N", 2048))     # D = 3 + 2N = 4099
+PAD = int(os.environ.get("DENSE_PAD", 4224)) # kernel mode: next mult of 128
 M = 8
+HBM_SPEC_GBPS = 819.0
 
 
 def make_seeded_state(cfg, dtype=jnp.float32):
     """A converged serving state: every landmark initialized, small PSD
-    covariance on the logical dims, zeros on the padded tail."""
+    covariance on the logical dims, zeros on any padded tail."""
     from shermbot_navigation_tpu.models import ekf_slam as ekf
 
     D = cfg.dim
@@ -66,19 +80,21 @@ def make_seeded_state(cfg, dtype=jnp.float32):
         seen=st.seen.at[:N].set(True)), lms
 
 
-def make_runner(cfg, lms, T):
-    from shermbot_navigation_tpu.models import ekf_slam as ekf
-
-    dtype = jnp.float32
-    # schedule: tick t updates ids [t*M, t*M+M) mod N; measurements are the
-    # exact h(mean) of the seeded state at pose 0 (zero innovation -> the
-    # state stays numerically put while every update does full-rank work)
+def make_schedule(lms, T, dtype=jnp.float32):
+    """Tick t updates ids [t*M, t*M+M) mod N; zs are exact h(mean)."""
     zs_of = lambda ids: np.stack(
         [np.hypot(lms[ids, 0], lms[ids, 1]),
          np.arctan2(lms[ids, 1], lms[ids, 0])], axis=-1)
     sched = (np.arange(T)[:, None] * M + np.arange(M)[None, :]) % N
-    zs_all = jnp.asarray(zs_of(sched), dtype)             # (T, M, 2)
-    ids_all = jnp.asarray(sched, jnp.int32)
+    return (jnp.asarray(zs_of(sched), dtype),
+            jnp.asarray(sched, jnp.int32))
+
+
+def make_dense_runner(cfg, lms, T):
+    from shermbot_navigation_tpu.models import ekf_slam as ekf
+
+    dtype = jnp.float32
+    zs_all, ids_all = make_schedule(lms, T, dtype)
     twist = jnp.zeros(3, dtype)
     valid = jnp.ones((M,), bool)
     Q = jnp.diag(jnp.array([1e-6] * 3, dtype))
@@ -97,53 +113,78 @@ def make_runner(cfg, lms, T):
     return run
 
 
+def make_serving_runner(cfg, step, lms, T):
+    dtype = jnp.float32
+    zs_all, ids_all = make_schedule(lms, T, dtype)
+    twist = jnp.zeros((1, 3), dtype)
+    valid = jnp.ones((1, M), bool)
+    Q = jnp.diag(jnp.array([1e-6] * 3, dtype))
+    R = jnp.diag(jnp.array([1e-3] * 2, dtype))
+
+    @jax.jit
+    def run(st):
+        def body(st, inp):
+            zs, ids = inp
+            return step(st, twist, zs[None], valid, ids[None], Q, R), None
+
+        st, _ = jax.lax.scan(body, st, (zs_all, ids_all))
+        return st
+
+    return run
+
+
 @jax.jit
-def _sync_scalar(st):
-    """One scalar DEPENDING ON the big cov output (tunnel trap 14a)."""
+def _sync_dense(st):
     return jnp.sum(st.cov) + jnp.sum(st.mean)
 
 
-def timed_chain(run, st, reps=3):
-    """Chain the state through every timed call so each dispatch is a
-    unique (program, input) — identical re-dispatches can be served from
-    cache upstream of the chip (tunnel trap 14b), which collapses the
-    two-depth differencing to tA == tB == floor."""
+@jax.jit
+def _sync_blocked(st):
+    return (jnp.sum(st.cov_mm) + jnp.sum(st.cov_rm) + jnp.sum(st.mean_m)
+            + jnp.sum(st.mean_r))
+
+
+def timed_chain(run, sync, st, reps=3):
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
         st = run(st)
-        float(_sync_scalar(st))
+        float(sync(st))
         best = min(best, time.perf_counter() - t0)
     return best, st
 
 
-def measure(mode, T1=10, T2=50):
-    from shermbot_navigation_tpu.models.ekf_slam import EKFConfig
-
-    # symmetrize=False: the reference's update is asymmetric (ours
-    # defaults to re-symmetrizing as a documented deviation, PARITY D5),
-    # and at serving scale the symmetrize costs a full (D, D) transpose
-    # + 2 passes PER UPDATE — measured ~6x the rank-2 downdate itself
-    # (r04: 9.8 ms/tick with it, both A/B modes equally). The serving
-    # path measures the reference-faithful configuration.
-    cfg = EKFConfig(num_landmarks=N, pad_state_to=PAD, pallas_update=mode,
-                    symmetrize=False)
-    st, lms = make_seeded_state(cfg)
-    runA = make_runner(cfg, lms, T1)
-    runB = make_runner(cfg, lms, T2)
+def two_depth(mk_run, sync, st, T1=10, T2=50):
+    runA, runB = mk_run(T1), mk_run(T2)
     st = runA(st)
-    float(_sync_scalar(st))                   # compile+warm A
+    float(sync(st))
     st = runB(st)
-    float(_sync_scalar(st))                   # compile+warm B
-    assert bool(jnp.isfinite(st.mean).all())
-    tA, st = timed_chain(runA, st)
-    tB, st = timed_chain(runB, st)
+    float(sync(st))
+    tA, st = timed_chain(runA, sync, st)
+    tB, st = timed_chain(runB, sync, st)
     t_tick = (tB - tA) / (T2 - T1)
     floor = max(tA - T1 * t_tick, 0.0)
+    return t_tick, floor, st
+
+
+def measure_dense(mode):
+    from shermbot_navigation_tpu.models.ekf_slam import EKFConfig
+
+    # symmetrize=False: reference-faithful (PARITY D5) and at serving
+    # scale the symmetrize costs ~6x the rank-2 downdate itself (r04)
+    pad = PAD if mode == "on" else 0
+    cfg = EKFConfig(num_landmarks=N, pad_state_to=pad, pallas_update=mode,
+                    symmetrize=False)
+    D = cfg.dim
+    st, lms = make_seeded_state(cfg)
+    t_tick, floor, st = two_depth(
+        lambda T: make_dense_runner(cfg, lms, T), _sync_dense, st)
+    assert bool(jnp.isfinite(_sync_dense(st)))
     ups = M / t_tick
-    bw = ups * 2 * 4 * PAD * PAD
+    bw = ups * 2 * 4 * D * D          # per-UPDATE pass bytes
     return {
-        "mode": mode,
+        "mode": "dense_xla" if mode == "off" else "dense_kernel",
+        "D": D,
         "tick_ms": round(t_tick * 1e3, 3),
         "ticks_per_s": round(1.0 / t_tick, 1),
         "updates_per_s": round(ups, 1),
@@ -152,17 +193,50 @@ def measure(mode, T1=10, T2=50):
     }
 
 
-def stream_ceiling(D=PAD, L1=20, L2=120):
-    """Non-foldable body (an affine body composes across scan iterations
-    into one op — bench_stream_ceiling.py), chained carry, two depths."""
+def measure_serving():
+    from shermbot_navigation_tpu.models.ekf_slam import EKFConfig
+    from shermbot_navigation_tpu.parallel import bigmap, blocked_ekf
+    from shermbot_navigation_tpu.parallel.mesh import make_mesh
+    from shermbot_navigation_tpu.pipeline import serving
+
+    cfg = EKFConfig(num_landmarks=N, symmetrize=False)
+    mesh = make_mesh(jax.devices()[:1], data=1)
+    seqk = bigmap._resolve_seq_kernel(None, N, M, mesh, 1, jnp.float32)
+    gridk = bigmap._resolve_grid_kernel(None, cfg, mesh, jnp.float32)
+    log(f"serving routing: seq_kernel={seqk} grid_kernel={gridk}")
+    step = blocked_ekf.make_sharded_deferred_step(
+        cfg, mesh, 1, M, grid_kernel=gridk, seq_kernel=seqk)
+
+    dense_cfg = EKFConfig(num_landmarks=N, symmetrize=False)
+    dst, lms = make_seeded_state(dense_cfg)
+    st = serving.state_from_dense(dense_cfg, dst)
+    t_tick, floor, st = two_depth(
+        lambda T: make_serving_runner(cfg, step, lms, T), _sync_blocked, st)
+    assert bool(jnp.isfinite(_sync_blocked(st)))
+    grid_bytes = 2 * 16 * N * N       # one read + one write of the planes
+    eff_gbps = grid_bytes / t_tick / 1e9
+    return {
+        "mode": "serving",
+        "D": 3 + 2 * N,
+        "tick_ms": round(t_tick * 1e3, 3),
+        "ticks_per_s": round(1.0 / t_tick, 1),
+        "updates_per_s": round(M / t_tick, 1),
+        "grid_2pass_GBps": round(eff_gbps, 1),
+        "dispatch_floor_ms": round(floor * 1e3, 1),
+        "seq_kernel": seqk, "grid_kernel": gridk,
+    }
+
+
+def stream_ceiling(D=4096, L1=20, L2=120):
+    """Measured stream rate at the serving byte count (67 MB buffer —
+    VMEM-resident regime at this size). Non-foldable sqrt body, chained
+    carry, two depths (traps 14a/b)."""
     x = jnp.ones((D, D), jnp.float32)
 
     def mk(L):
         @jax.jit
         def loop(c):
             def body(c, _):
-                # non-foldable: |c|k+b composes once XLA proves
-                # positivity (measured: implied TB/s); sqrt does not
                 return jnp.sqrt(c * c + 1e-9), None
             c, _ = jax.lax.scan(body, c, None, length=L)
             return c
@@ -192,28 +266,37 @@ def stream_ceiling(D=PAD, L1=20, L2=120):
     t = (tB - tA) / (L2 - L1)
     return round(2 * 4 * D * D / t / 1e9, 1)
 
+
 def main():
     log("stream ceiling at (4096, 4096)...")
     ceil = stream_ceiling()
-    log(f"stream ceiling: {ceil} GB/s")
+    log(f"measured stream rate (VMEM regime): {ceil} GB/s")
     rows = []
-    for mode in ("off", "auto"):
-        log(f"measuring pallas_update={mode} ...")
-        row = measure(mode)
+    for mode in ("off", "on"):
+        log(f"measuring dense pallas_update={mode} ...")
+        row = measure_dense(mode)
         log(str(row))
         rows.append(row)
-    kern = next(r for r in rows if r["mode"] == "auto")
-    xla = next(r for r in rows if r["mode"] == "off")
+    log("measuring serving (deferred whole-tick kernels) ...")
+    srow = measure_serving()
+    log(str(srow))
+    rows.append(srow)
+    xla = next(r for r in rows if r["mode"] == "dense_xla")
+    grid_bytes = 2 * 16 * N * N
+    floor_hbm_ms = grid_bytes / (HBM_SPEC_GBPS * 1e9) * 1e3
+    floor_vmem_ms = grid_bytes / (ceil * 1e9) * 1e3
     print(json.dumps({
-        "metric": "dense_serving_D4096",
-        "value": kern["ticks_per_s"],
-        "unit": "ticks/s (predict + 8 dense updates, pallas auto)",
-        "N_landmarks": N, "D": PAD,
-        "stream_ceiling_GBps": ceil,
-        "speedup_vs_xla": round(
-            kern["ticks_per_s"] / xla["ticks_per_s"], 3),
-        "pct_of_stream_ceiling": round(
-            100 * kern["rank2_update_GBps"] / ceil, 1),
+        "metric": "dense_serving_D4099",
+        "value": srow["ticks_per_s"],
+        "unit": "ticks/s (predict + 8 known-id updates, serving path)",
+        "N_landmarks": N,
+        "stream_ceiling_GBps_vmem_regime": ceil,
+        "speedup_vs_dense_xla": round(
+            srow["ticks_per_s"] / xla["ticks_per_s"], 2),
+        "pct_of_hbm_2pass_floor": round(
+            100 * floor_hbm_ms / srow["tick_ms"], 1),
+        "pct_of_vmem_stream_2pass_floor": round(
+            100 * floor_vmem_ms / srow["tick_ms"], 1),
         "rows": rows,
     }))
 

@@ -78,13 +78,21 @@ def command_twist(scn: ScenarioConfig, t, dtype=jnp.float32):
     raise ValueError(f"unknown command kind {kind!r}")
 
 
-def slam_tick(scn: ScenarioConfig, params: tw.WorldParams, Q, R,
-              state: PipelineState, cmd) -> tuple:
-    """One 10 Hz SLAM tick (= ``sim_substeps`` 50 Hz sim ticks + odometry +
-    EKF). Pure; jit/vmap/scan-friendly."""
+class SenseState(NamedTuple):
+    """Everything except the filter: sim world, odometry, PRNG key."""
+
+    world: tw.WorldState
+    odom: dd.DiffDriveState
+    key: jnp.ndarray
+
+
+def sense_tick(scn: ScenarioConfig, params: tw.WorldParams,
+               state: SenseState, cmd):
+    """The non-filter part of one SLAM tick: ``sim_substeps`` 50 Hz sim
+    steps + odometry + the measurement stage (fake sensor or the full
+    lidar -> cluster -> circle-fit chain). Pure; jit/vmap/scan-friendly.
+    Returns ``(new SenseState, twist, zs (M, 2), valid (M,), obs)``."""
     wcfg = scn.world_config()
-    ecfg = scn.ekf_config()
-    dtype = state.odom.pose.dtype
 
     # --- simulator substeps (tube_world at 50 Hz). Only the LAST substep's
     # observations are consumed at 10 Hz (latest-topic sampling), so the
@@ -116,10 +124,22 @@ def slam_tick(scn: ScenarioConfig, params: tw.WorldParams, Q, R,
         positions, valid = obs.fake_sensor, obs.fake_sensor_valid
 
     zs = ekf.cartesian2polar(positions[..., 0], positions[..., 1])
+    return SenseState(world=world, odom=odom, key=key), twist, zs, valid, obs
+
+
+def slam_tick(scn: ScenarioConfig, params: tw.WorldParams, Q, R,
+              state: PipelineState, cmd) -> tuple:
+    """One 10 Hz SLAM tick (= ``sim_substeps`` 50 Hz sim ticks + odometry +
+    EKF). Pure; jit/vmap/scan-friendly."""
+    ecfg = scn.ekf_config()
+
+    sense, twist, zs, valid, obs = sense_tick(
+        scn, params, SenseState(state.world, state.odom, state.key), cmd)
+    world, odom, key = sense.world, sense.odom, sense.key
 
     # --- EKF tick
     if scn.known_association:
-        ids = jnp.arange(positions.shape[0], dtype=jnp.int32)
+        ids = jnp.arange(zs.shape[0], dtype=jnp.int32)
         filt = ekf.known_association_step(
             ecfg, state.filt, twist, zs, valid, ids, Q, R)
     else:
