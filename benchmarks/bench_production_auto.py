@@ -34,7 +34,12 @@ def run_point(N, M, unknown, T1, T2):  # noqa: C901
     cfg = EKFConfig(num_landmarks=N)
     wl = bigmap.make_workload(N, 128, M, jax.random.PRNGKey(0))
     maker = bigmap.make_unknown_runner if unknown else bigmap.make_runner
-    runner = maker(cfg, mesh, 1, M)          # ALL defaults = production
+    # PROD_DONATE=1: donate the state so the out-grid reuses the in-grid
+    # allocation (peak 1x grid instead of 2x) — required at the
+    # single-chip HBM edge (N >= ~20480, grid >= 6.7 GB; 2x would OOM).
+    # The call chain below is linear, so donation is safe.
+    donate = bool(os.environ.get("PROD_DONATE"))
+    runner = maker(cfg, mesh, 1, M, donate=donate)  # defaults = production
     st = blocked_ekf.init(cfg, 1)
     specs = blocked_ekf.state_sharding(mesh)
     st = jax.tree_util.tree_map(

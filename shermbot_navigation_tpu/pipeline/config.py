@@ -204,6 +204,26 @@ register(ScenarioConfig(
     slip_mode="multiplicative",   # physical slip: odometry really drifts
 ))
 
+# quality mode for config 2: the 12-landmark course under PHYSICAL
+# multiplicative slip (odometry genuinely drifts) with statistically-sound
+# association — nearest neighbor, wide-but-gated match, wrapped
+# innovations. The r05 on-chip quality artifact pairs this against
+# course12_noisy (the reference-faithful mode whose first-hit gating
+# diverges ~1% of worlds, PARITY P17).
+register(ScenarioConfig(
+    name="course12_tuned",
+    tubes=_ring(12, 0.9),
+    num_landmarks=16,            # headroom for noise-spawned duplicates
+    known_association=False,
+    slip_min=0.9, slip_max=1.0, twist_noise=0.001, tube_var=0.001,
+    max_range=1.0,
+    steps=600,
+    command=("circle", 2 * 3.14159265 / 60.0, 0.08),
+    match_gate=0.2, new_gate=60.0, wrap_innovation=True,
+    assoc_mode="nearest",
+    slip_mode="multiplicative",
+))
+
 # the reference's stock 6-tube world (tube_world_params.yaml)
 register(ScenarioConfig(
     name="stock6",

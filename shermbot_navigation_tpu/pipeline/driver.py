@@ -199,3 +199,60 @@ def run_scenario_batch(scn: ScenarioConfig, keys, steps=None,
         return outs
 
     return jax.vmap(one)(keys)
+
+
+@functools.partial(jax.jit, static_argnums=(0, 2, 3))
+def run_scenario_batch_lanes(scn: ScenarioConfig, keys, steps=None,
+                             dtype=jnp.float32):
+    """DP-batched scenario run on the BATCH-ON-LANES engine
+    (``models.ekf_batch``): the sim/perception stage stays vmapped
+    (its arrays are already well-shaped), but the filter runs the
+    explicitly batch-trailing dense EKF — covariances ``(D, D, B)``
+    instead of vmap's ``(B, D, D)``, so the batch dim rides the TPU
+    lane axis at full width instead of padding 27-wide trailing dims
+    onto 128 lanes (BENCH_NOTES pathology 9 applied to the batch axis).
+    Semantics identical to :func:`run_scenario_batch`; returns the same
+    (B, T, ...) ``TickOutput``."""
+    from ..models import ekf_batch
+    from .metrics import nees as nees_fn
+
+    params = scn.world_params(dtype)
+    Q, R = scn.noise_matrices(dtype)
+    ecfg = scn.ekf_config()
+    T = scn.steps if steps is None else steps
+    B = keys.shape[0]
+    cmds = command_twist(scn, jnp.arange(T), dtype)
+
+    def init_sense(key):
+        st = init_pipeline(scn, dtype)._replace(key=key)
+        return SenseState(st.world, st.odom, st.key)
+
+    sense0 = jax.vmap(init_sense)(keys)
+    filt0 = ekf_batch.init(ecfg, B, dtype=dtype)
+
+    def body(carry, cmd):
+        sense, filt = carry
+        sense, twist, zs, valid, obs = jax.vmap(
+            lambda s: sense_tick(scn, params, s, cmd))(sense)
+        if scn.known_association:
+            ids = jnp.broadcast_to(
+                jnp.arange(zs.shape[1], dtype=jnp.int32)[None, :],
+                zs.shape[:2])
+            filt = ekf_batch.known_association_step(
+                ecfg, filt, twist, zs, valid, ids, Q, R)
+        else:
+            filt = ekf_batch.step(ecfg, filt, twist, zs, valid, Q, R)
+        slam_pose = filt.mean[:3].T                         # (B, 3)
+        cov_rr = jnp.transpose(filt.cov[:3, :3], (2, 0, 1))  # (B, 3, 3)
+        out = TickOutput(
+            true_pose=obs.true_pose,
+            odom_pose=sense.odom.pose,
+            slam_pose=slam_pose,
+            n_seen=filt.n_seen,
+            nees=jax.vmap(nees_fn)(slam_pose, obs.true_pose, cov_rr),
+        )
+        return (sense, filt), out
+
+    _, outs = jax.lax.scan(body, (sense0, filt0), cmds)
+    # scan stacks (T, B, ...); match run_scenario_batch's (B, T, ...)
+    return jax.tree_util.tree_map(lambda x: jnp.swapaxes(x, 0, 1), outs)
