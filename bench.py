@@ -25,6 +25,10 @@ BASELINE_BIN = os.path.join(BASELINE_DIR, "baseline")
 
 SCENARIO = "loop5_known"
 BATCH = int(os.environ.get("BENCH_BATCH", "2048"))
+# "lanes" = the batch-trailing engine (models/ekf_batch.py) — measured
+# 1.36x the vmapped engine on this workload on-chip (r05_headline.json);
+# "vmapped" keeps the r04 path for A/Bs.
+ENGINE = os.environ.get("BENCH_ENGINE", "lanes")
 
 
 def measure_cpp(runs=5):
@@ -62,10 +66,12 @@ def measure_tpu():
     from shermbot_navigation_tpu.pipeline.config import get_scenario
 
     scn = get_scenario(SCENARIO)
+    run = (driver.run_scenario_batch_lanes if ENGINE == "lanes"
+           else driver.run_scenario_batch)
 
     def timed(key):
         t0 = time.time()
-        o = driver.run_scenario_batch(scn, jax.random.split(key, BATCH))
+        o = run(scn, jax.random.split(key, BATCH))
         # force full materialization on host (block_until_ready alone has
         # proven unreliable through the axon tunnel)
         float(jnp.sum(o.slam_pose))
@@ -96,6 +102,7 @@ def main():
                             cpp["ticks_per_sec_max"]],
         "batch": BATCH,
         "scenario": SCENARIO,
+        "engine": ENGINE,
         "tpu_ate_m": round(tpu_ate, 6),
         "cpp_ate_m": cpp["ate"],
         "seconds_per_batch_run": round(secs, 3),
