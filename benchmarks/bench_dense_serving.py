@@ -193,7 +193,26 @@ def measure_dense(mode):
     }
 
 
-def measure_serving():
+def make_serving_runner_unknown(cfg, step, lms, T):
+    dtype = jnp.float32
+    zs_all, _ = make_schedule(lms, T, dtype)
+    twist = jnp.zeros((1, 3), dtype)
+    valid = jnp.ones((1, M), bool)
+    Q = jnp.diag(jnp.array([1e-6] * 3, dtype))
+    R = jnp.diag(jnp.array([1e-3] * 2, dtype))
+
+    @jax.jit
+    def run(st):
+        def body(st, zs):
+            return step(st, twist, zs[None], valid, Q, R), None
+
+        st, _ = jax.lax.scan(body, st, zs_all)
+        return st
+
+    return run
+
+
+def measure_serving(unknown=False):
     from shermbot_navigation_tpu.models.ekf_slam import EKFConfig
     from shermbot_navigation_tpu.parallel import bigmap, blocked_ekf
     from shermbot_navigation_tpu.parallel.mesh import make_mesh
@@ -203,20 +222,24 @@ def measure_serving():
     mesh = make_mesh(jax.devices()[:1], data=1)
     seqk = bigmap._resolve_seq_kernel(None, N, M, mesh, 1, jnp.float32)
     gridk = bigmap._resolve_grid_kernel(None, cfg, mesh, jnp.float32)
-    log(f"serving routing: seq_kernel={seqk} grid_kernel={gridk}")
-    step = blocked_ekf.make_sharded_deferred_step(
-        cfg, mesh, 1, M, grid_kernel=gridk, seq_kernel=seqk)
+    log(f"serving routing: seq_kernel={seqk} grid_kernel={gridk} "
+        f"unknown={unknown}")
+    mk = (blocked_ekf.make_sharded_deferred_unknown_step if unknown
+          else blocked_ekf.make_sharded_deferred_step)
+    step = mk(cfg, mesh, 1, M, grid_kernel=gridk, seq_kernel=seqk)
 
     dense_cfg = EKFConfig(num_landmarks=N, symmetrize=False)
     dst, lms = make_seeded_state(dense_cfg)
     st = serving.state_from_dense(dense_cfg, dst)
+    mk_run = (make_serving_runner_unknown if unknown
+              else make_serving_runner)
     t_tick, floor, st = two_depth(
-        lambda T: make_serving_runner(cfg, step, lms, T), _sync_blocked, st)
+        lambda T: mk_run(cfg, step, lms, T), _sync_blocked, st)
     assert bool(jnp.isfinite(_sync_blocked(st)))
     grid_bytes = 2 * 16 * N * N       # one read + one write of the planes
     eff_gbps = grid_bytes / t_tick / 1e9
     return {
-        "mode": "serving",
+        "mode": "serving_unknown" if unknown else "serving",
         "D": 3 + 2 * N,
         "tick_ms": round(t_tick * 1e3, 3),
         "ticks_per_s": round(1.0 / t_tick, 1),
@@ -281,6 +304,10 @@ def main():
     srow = measure_serving()
     log(str(srow))
     rows.append(srow)
+    if not os.environ.get("DENSE_SKIP_UNKNOWN"):
+        urow = measure_serving(unknown=True)
+        log(str(urow))
+        rows.append(urow)
     xla = next(r for r in rows if r["mode"] == "dense_xla")
     grid_bytes = 2 * 16 * N * N
     floor_hbm_ms = grid_bytes / (HBM_SPEC_GBPS * 1e9) * 1e3

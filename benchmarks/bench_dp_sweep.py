@@ -23,15 +23,20 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+ENGINE = os.environ.get("BENCH_ENGINE", "lanes")  # bench.py's knob
+
+
 def measure_batch(B, repeats=3):
     from shermbot_navigation_tpu.pipeline import driver
     from shermbot_navigation_tpu.pipeline.config import get_scenario
 
     scn = get_scenario("loop5_known")
+    run = (driver.run_scenario_batch_lanes if ENGINE == "lanes"
+           else driver.run_scenario_batch)
 
     def timed(key):
         t0 = time.time()
-        o = driver.run_scenario_batch(scn, jax.random.split(key, B))
+        o = run(scn, jax.random.split(key, B))
         float(jnp.sum(o.slam_pose))
         return time.time() - t0
 
@@ -52,7 +57,8 @@ def main():
     print(json.dumps({
         "metric": "config1_dp_batch_sweep",
         "value": best["ticks_per_s"],
-        "unit": f"ticks/s (best, batch {best['batch']})",
+        "unit": f"ticks/s (best, batch {best['batch']}, {ENGINE} engine)",
+        "engine": ENGINE,
         "rows": rows,
     }))
 
