@@ -82,6 +82,46 @@ def build(variant):
 
         return jax.jit(lambda keys: jnp.sum(jax.vmap(one)(keys))), scn
 
+    if variant in ("sim+cluster", "sim+cluster+classify",
+                   "sim+cluster+fit"):
+        from shermbot_navigation_tpu.ops.circle_fit import fit_circles
+        from shermbot_navigation_tpu.ops.clustering import (
+            classify_clusters, cluster_scan)
+
+        def one(key):
+            st = driver.init_pipeline(scn, dtype)._replace(key=key)
+            cmds = driver.command_twist(scn, jnp.arange(T), dtype)
+
+            def body(carry, cmd):
+                world, key = carry
+                key, k_obs, *subkeys = jax.random.split(
+                    key, scn.sim_substeps + 2)
+
+                def sim_body(wst, k):
+                    return tw.step_dynamics(wcfg, params, wst, cmd,
+                                            scn.dt, k), None
+
+                world, _ = jax.lax.scan(sim_body, world,
+                                        jnp.stack(subkeys), unroll=True)
+                obs = tw.observe(wcfg, params, world, k_obs)
+                cl = cluster_scan(obs.scan, params.scan_min,
+                                  params.scan_max,
+                                  max_clusters=scn.max_clusters,
+                                  max_points=scn.max_cluster_points)
+                out = (jnp.sum(cl.points) + jnp.sum(cl.counts)
+                       + jnp.sum(obs.true_pose))
+                if "classify" in variant:
+                    out = out + jnp.sum(classify_clusters(cl))
+                if "fit" in variant:
+                    f = fit_circles(cl)
+                    out = out + jnp.sum(f.center) + jnp.sum(f.valid)
+                return (world, key), out
+
+            _, outs = jax.lax.scan(body, (st.world, st.key), cmds)
+            return jnp.sum(outs)
+
+        return jax.jit(lambda keys: jnp.sum(jax.vmap(one)(keys))), scn
+
     assert variant == "sim+perc"
 
     def one(key):
@@ -122,7 +162,17 @@ def measure(variant):
 
 
 def main():
-    rows = [measure(v) for v in ("sim", "sim+perc", "full")]
+    variants = os.environ.get(
+        "ATTRIB_VARIANTS", "sim,sim+perc,full").split(",")
+    rows = [measure(v) for v in variants]
+    if set(variants) != {"sim", "sim+perc", "full"}:
+        for r in rows:
+            log(str(r))
+        print(json.dumps({"metric": "config3_tick_attribution_sub",
+                          "value": rows[-1]["ticks_per_s"],
+                          "unit": f"ticks/s ({variants[-1]}, B={B})",
+                          "rows": rows}))
+        return
     for r in rows:
         log(str(r))
     t = {r["variant"]: r["seconds"] for r in rows}

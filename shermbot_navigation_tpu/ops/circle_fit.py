@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from .clustering import Clusters
-from .smallalg import eigh4_jacobi, solve4
+from .smallalg import eigh4_jacobi, eigh4_jacobi_c, solve4, solve4_c
 
 # pin full-f32 matmuls on TPU (default demotes to bf16; the moment matrix
 # and Y-chain are too ill-conditioned for 8 mantissa bits)
@@ -130,6 +130,101 @@ def _fit_tail(M, centroid, z_bar, count, valid):
     return center, radius, ok
 
 
+def _fit_tail_c(mc, cx, cy, z_bar, count, valid):
+    """Fully-componentized eigen-chain (ref :50-110): ``mc`` is a length-16
+    list of batched moment components (row-major). The r04 rewrite
+    componentized the Jacobi BODY but the chain around it still ran
+    (..., 4, 4) matmuls/einsums (Y, Q, the sort one-hots, solve4 slices)
+    — each lowering to a TPU convolution whose 4x4 trailing dims pad onto
+    (8, 128) tiles. The r05 on-chip audit (r05_config3_attrib.json)
+    measured the fit at 82%% of perception = 69%% of the whole lidar
+    tick; this form materializes NO 4x4 tensor anywhere.
+    """
+    dt = mc[0].dtype
+    lam, V = eigh4_jacobi_c(mc)                   # lists; lam ascending
+    lam = [jnp.maximum(l, 0.0) for l in lam]
+    s = [jnp.sqrt(l) for l in lam]
+    sigma4 = s[0]
+
+    # branch a: rank-deficient -> null vector (ref :78-80)
+    A_null = [V[i][0] for i in range(4)]
+
+    # branch b: Y = V S V^T (symmetric — 10 unique comps, mirrored)
+    Y = [[None] * 4 for _ in range(4)]
+    for i in range(4):
+        for j in range(i, 4):
+            Y[i][j] = Y[j][i] = sum(V[i][k] * s[k] * V[j][k]
+                                    for k in range(4))
+    # Y Hinv with the closed-form Hinv (0.5 anti-diag corners, identity
+    # middle, -2 z_bar at [3,3]) — ref :55-61
+    YH = [[0.5 * Y[i][3], Y[i][1], Y[i][2],
+           0.5 * Y[i][0] - 2.0 * z_bar * Y[i][3]] for i in range(4)]
+    # Q = (Y Hinv) Y, symmetric
+    Q = [[None] * 4 for _ in range(4)]
+    for i in range(4):
+        for j in range(i, 4):
+            Q[i][j] = Q[j][i] = sum(YH[i][k] * Y[k][j] for k in range(4))
+
+    eq, EV = eigh4_jacobi_c([Q[i][j] for i in range(4) for j in range(4)])
+    # smallest POSITIVE eigenvalue; default column 0 if none positive
+    # (ref :81-104) — running component argmin, strict < keeps the first
+    inf = jnp.asarray(jnp.inf, dt)
+    big = [jnp.where(e > 0, e, inf) for e in eq]
+    best = big[0]
+    Astar = [EV[i][0] for i in range(4)]
+    for k in (1, 2, 3):
+        take = big[k] < best
+        best = jnp.where(take, big[k], best)
+        Astar = [jnp.where(take, EV[i][k], Astar[i]) for i in range(4)]
+
+    # A = solve(Y, Astar); guard the solve for the untaken branch
+    bump = (sigma4 < 1e-12).astype(dt)
+    Ysafe = [[Y[i][j] + bump * (1.0 if i == j else 0.0) for j in range(4)]
+             for i in range(4)]
+    A_gen = solve4_c(Ysafe, Astar)
+
+    rank_def = sigma4 < 1e-12
+    A = [jnp.where(rank_def, A_null[i], A_gen[i]) for i in range(4)]
+
+    # circle parameters (ref :107-110)
+    A0 = jnp.where(jnp.abs(A[0]) < 1e-30, 1e-30, A[0])
+    a = -A[1] / (2.0 * A0)
+    b = -A[2] / (2.0 * A0)
+    R2 = (A[1] ** 2 + A[2] ** 2 - 4.0 * A[0] * A[3]) / (4.0 * A0 * A0)
+    radius = jnp.sqrt(jnp.maximum(R2, 0.0))
+
+    ccx = a + cx
+    ccy = b + cy
+    ok = (valid & (count >= 4) & jnp.isfinite(ccx) & jnp.isfinite(ccy)
+          & jnp.isfinite(radius))
+    return jnp.stack([ccx, ccy], axis=-1), radius, ok
+
+
+def _moments_comps(points, counts):
+    """Batched masked moments as 16 flat components + centroid + z_bar —
+    the XLA front end for the componentized tail (no (C, 4, 4) tensor).
+    points (C, P, 2), counts (C,)."""
+    C, P, _ = points.shape
+    dt = points.dtype
+    mask = jnp.arange(P)[None, :] < jnp.asarray(counts)[:, None]
+    w = mask.astype(dt)
+    n = jnp.maximum(jnp.asarray(counts, dt), 1.0)
+    cx = jnp.sum(points[..., 0] * w, axis=1) / n
+    cy = jnp.sum(points[..., 1] * w, axis=1) / n
+    x = (points[..., 0] - cx[:, None]) * w
+    y = (points[..., 1] - cy[:, None]) * w
+    z = x * x + y * y
+    s = lambda a: jnp.sum(a, axis=1)
+    szz, szx, szy, sz = s(z * z), s(z * x), s(z * y), s(z)
+    sxx, sxy, sx = s(x * x), s(x * y), s(x)
+    syy, sy, sn = s(y * y), s(y), s(w)
+    mc = [szz, szx, szy, sz,
+          szx, sxx, sxy, sx,
+          szy, sxy, syy, sy,
+          sz, sx, sy, sn]
+    return mc, cx, cy, sz / n
+
+
 def _fit_one(pts, count, valid):
     """Fit one padded cluster: pts (P, 2), count scalar."""
     M, centroid, z_bar = _moments_one(pts, count)
@@ -147,14 +242,33 @@ def _use_moments_kernel(use_pallas, clusters: Clusters) -> bool:
 
 
 def fit_circles(clusters: Clusters, use_pallas: bool | None = None,
-                interpret: bool = False) -> CircleFits:
+                interpret: bool = False,
+                componentized: bool | None = None) -> CircleFits:
     """Batched circle fit over all cluster slots.
 
     The data-touching front end (masked centroid + moment matrices) runs as
     ONE fused Pallas pass over the point buffer on TPU
-    (ops/pallas/circle_moments, ``use_pallas=None`` auto); the tiny 4x4
-    eigen-chain stays in XLA either way. ``interpret`` runs the kernel in
-    interpreter mode (CPU test hook)."""
+    (ops/pallas/circle_moments, ``use_pallas=None`` auto); the eigen-chain
+    runs FULLY COMPONENTIZED by default (``componentized=None`` -> True):
+    no (C, 4, 4) tensor is materialized anywhere — the r05 on-chip audit
+    measured the tensor-form chain's padded 4x4 convolutions at 82%% of
+    the whole perception stage (r05_config3_attrib.json).
+    ``componentized=False`` keeps the tensor-form tail (the A/B oracle).
+    ``interpret`` runs the kernel in interpreter mode (CPU test hook)."""
+    comp = True if componentized is None else componentized
+    if comp:
+        if _use_moments_kernel(use_pallas, clusters):
+            from .pallas.circle_moments import circle_moments_raw
+            m16, cent, zbar = circle_moments_raw(
+                clusters.points, clusters.counts, interpret=interpret)
+            mc = [m16[..., k] for k in range(16)]
+            cx, cy = cent[..., 0], cent[..., 1]
+        else:
+            mc, cx, cy, zbar = _moments_comps(clusters.points,
+                                              clusters.counts)
+        center, radius, ok = _fit_tail_c(mc, cx, cy, zbar,
+                                         clusters.counts, clusters.valid)
+        return CircleFits(center=center, radius=radius, valid=ok)
     if _use_moments_kernel(use_pallas, clusters):
         from .pallas.circle_moments import circle_moments
         M, cent, zbar = circle_moments(clusters.points, clusters.counts,

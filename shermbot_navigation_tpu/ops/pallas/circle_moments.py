@@ -70,9 +70,15 @@ def _kernel(x_ref, y_ref, count_ref, m_ref, cent_ref, zbar_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "interpret"))
-def circle_moments(points, counts, tile: int = 8, interpret: bool = False):
-    """points (C, P, 2), counts (C,) -> (M (C,4,4), centroid (C,2),
-    z_bar (C,)). C must be divisible by ``tile``."""
+def circle_moments_raw(points, counts, tile: int = 8,
+                       interpret: bool = False):
+    """points (C, P, 2), counts (C,) -> (M16 (C, 16) row-major flat,
+    centroid (C, 2), z_bar (C,)). C must be divisible by ``tile``.
+
+    The flat (C, 16) form is what the componentized fit tail consumes
+    (ops/circle_fit._fit_tail_c) — reshaping to (C, 4, 4) creates a
+    tensor whose trailing dims pad onto (8, 128) TPU tiles and whose
+    per-entry slices each re-read the padded buffer (pathology 9)."""
     C, P, _ = points.shape
     assert C % tile == 0, f"C={C} not divisible by tile={tile}"
     x = points[..., 0]
@@ -106,7 +112,14 @@ def circle_moments(points, counts, tile: int = 8, interpret: bool = False):
         ],
         interpret=interpret,
     )(x, y, cnt)
-    return m.reshape(C, 4, 4), cent, zbar[:, 0]
+    return m, cent, zbar[:, 0]
+
+
+def circle_moments(points, counts, tile: int = 8, interpret: bool = False):
+    """Tensor-output wrapper: (M (C, 4, 4), centroid (C, 2), z_bar (C,))."""
+    m, cent, zbar = circle_moments_raw(points, counts, tile=tile,
+                                       interpret=interpret)
+    return m.reshape(points.shape[0], 4, 4), cent, zbar
 
 
 def reference_circle_moments(points, counts):

@@ -108,29 +108,32 @@ def solve4(M, v, eps: float = 1e-30):
     return jnp.einsum("...ij,...j->...i", inv, v, precision=PRECISION)
 
 
-def eigh4_jacobi(M, sweeps: int = 8):
-    """Symmetric 4x4 eigendecomposition via cyclic Jacobi rotations,
-    batched and branchless (fixed sweep count; ~machine precision for
-    well-scaled inputs after 6-8 sweeps).
+def eigh4_jacobi_c(A_comps, sweeps: int = 8):
+    """Fully-componentized symmetric 4x4 eigendecomposition (cyclic Jacobi,
+    fixed sweep count, branchless).
 
-    Returns (eigenvalues ascending, eigenvectors as columns) matching
-    ``jnp.linalg.eigh``'s convention.
+    ``A_comps``: length-16 list of (batched, arbitrary-shape) arrays, the
+    matrix entries row-major. Returns ``(lam, V)`` with ``lam`` a length-4
+    list (ascending) and ``V`` a 4x4 list-of-lists (columns are
+    eigenvectors) — NO (..., 4, 4) tensor is ever materialized, so no
+    operand acquires a tiny trailing dim that pads onto (8, 128) TPU
+    tiles (pathology 9; the r05 lidar-tick audit found the fit chain's
+    remaining (B, C, 4, 4) matmuls/einsums cost 82%% of perception).
 
-    COMPONENT rotation body: closed-form Givens row/col updates on 16+16
-    flat (...,)-shaped arrays, not (..., 4, 4) einsums — a batched 4x4
-    einsum lowers to a TPU convolution whose trailing dims pad onto
-    (8, 128) tiles (~64x HBM inflation, pathology 9; the lidar tick
-    carried 144 of them). The sweep loop is a lax.scan with the body
-    compiled ONCE: fully unrolling the rotation chain hits an XLA:CPU
-    compile cliff (1/2/3 sweeps compile in 0.3/1/2 s; 4+ hang > 9 min,
-    optimization barriers do not help — recorded negative, r04).
+    The rotation body is closed-form Givens row/col updates on 16+16 flat
+    arrays inside a ``lax.scan`` whose body compiles ONCE (fully unrolling
+    hits an XLA:CPU compile cliff — recorded negative, r04). The final
+    ascending sort is a 5-comparator sorting network of component
+    where-swaps (the r04 one-hot-einsum sort was itself a padded 4x4
+    contraction).
     """
-    dt = M.dtype
-    Ms = 0.5 * (M + jnp.swapaxes(M, -1, -2))
+    # symmetrize like the tensor form
+    A0 = [0.5 * (A_comps[i * 4 + j] + A_comps[j * 4 + i])
+          for i in range(4) for j in range(4)]
+    one = jnp.ones_like(A0[0])
+    zero = jnp.zeros_like(A0[0])
+    eye = [one if i == j else zero for i in range(4) for j in range(4)]
     pairs = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
-    A0 = [Ms[..., i, j] for i in range(4) for j in range(4)]
-    eye = [jnp.full_like(Ms[..., 0, 0], 1.0 if i == j else 0.0)
-           for i in range(4) for j in range(4)]
 
     def sweep(carry, _):
         flat = list(carry)
@@ -159,19 +162,78 @@ def eigh4_jacobi(M, sweeps: int = 8):
 
     flat, _ = jax.lax.scan(sweep, tuple(A0) + tuple(eye), None,
                            length=sweeps)
-    lam = jnp.stack([flat[i * 4 + i] for i in range(4)], axis=-1)
-    V = jnp.stack(
-        [jnp.stack([flat[16 + i * 4 + j] for j in range(4)], axis=-1)
+    lam = [flat[i * 4 + i] for i in range(4)]
+    V = [[flat[16 + i * 4 + j] for j in range(4)] for i in range(4)]
+
+    # ascending sort: 5-comparator network, swapping (eigenvalue, column)
+    for (k, l) in [(0, 1), (2, 3), (0, 2), (1, 3), (1, 2)]:
+        take = lam[k] > lam[l]
+        lam[k], lam[l] = (jnp.where(take, lam[l], lam[k]),
+                          jnp.where(take, lam[k], lam[l]))
+        for i in range(4):
+            V[i][k], V[i][l] = (jnp.where(take, V[i][l], V[i][k]),
+                                jnp.where(take, V[i][k], V[i][l]))
+    return lam, V
+
+
+def eigh4_jacobi(M, sweeps: int = 8):
+    """Symmetric 4x4 eigendecomposition via cyclic Jacobi rotations,
+    batched and branchless (fixed sweep count; ~machine precision for
+    well-scaled inputs after 6-8 sweeps).
+
+    Returns (eigenvalues ascending, eigenvectors as columns) matching
+    ``jnp.linalg.eigh``'s convention. Tensor-in/tensor-out wrapper around
+    :func:`eigh4_jacobi_c` — hot paths should use the component form
+    directly and never materialize the (..., 4, 4) operands.
+    """
+    comps = [M[..., i, j] for i in range(4) for j in range(4)]
+    lam, V = eigh4_jacobi_c(comps, sweeps=sweeps)
+    lam_sorted = jnp.stack(lam, axis=-1)
+    V_sorted = jnp.stack(
+        [jnp.stack([V[i][j] for j in range(4)], axis=-1)
          for i in range(4)], axis=-2)
-    order = jnp.argsort(lam, axis=-1)
-    # apply the sort permutation with one-hot einsums, not
-    # take_along_axis — a vmapped data-dependent gather is slow on TPU
-    # (BENCH_NOTES pathology 15 family); the 4x4 one-hot contraction is
-    # a fused VPU op
-    onehot = (order[..., :, None]
-              == jnp.arange(4)[None, :]).astype(lam.dtype)       # (...,k,j)
-    lam_sorted = jnp.einsum("...kj,...j->...k", onehot, lam,
-                            precision=PRECISION)
-    V_sorted = jnp.einsum("...ij,...kj->...ik", V, onehot,
-                          precision=PRECISION)
     return lam_sorted, V_sorted
+
+
+def solve4_c(Mc, vc, eps: float = 1e-30):
+    """Component form of :func:`solve4`: ``Mc`` is a 4x4 list-of-lists,
+    ``vc`` a length-4 list; returns a length-4 list. Same cofactor
+    expansion, zero (..., 4, 4) materialization."""
+    m = Mc
+    s0 = m[2][0] * m[3][1] - m[2][1] * m[3][0]
+    s1 = m[2][0] * m[3][2] - m[2][2] * m[3][0]
+    s2 = m[2][0] * m[3][3] - m[2][3] * m[3][0]
+    s3 = m[2][1] * m[3][2] - m[2][2] * m[3][1]
+    s4 = m[2][1] * m[3][3] - m[2][3] * m[3][1]
+    s5 = m[2][2] * m[3][3] - m[2][3] * m[3][2]
+    c0 = m[0][0] * m[1][1] - m[0][1] * m[1][0]
+    c1 = m[0][0] * m[1][2] - m[0][2] * m[1][0]
+    c2 = m[0][0] * m[1][3] - m[0][3] * m[1][0]
+    c3 = m[0][1] * m[1][2] - m[0][2] * m[1][1]
+    c4 = m[0][1] * m[1][3] - m[0][3] * m[1][1]
+    c5 = m[0][2] * m[1][3] - m[0][3] * m[1][2]
+
+    det = c0 * s5 - c1 * s4 + c2 * s3 + c3 * s2 - c4 * s1 + c5 * s0
+    det = jnp.where(jnp.abs(det) < eps, jnp.full_like(det, eps), det)
+
+    inv = [
+        [m[1][1] * s5 - m[1][2] * s4 + m[1][3] * s3,
+         -m[0][1] * s5 + m[0][2] * s4 - m[0][3] * s3,
+         m[3][1] * c5 - m[3][2] * c4 + m[3][3] * c3,
+         -m[2][1] * c5 + m[2][2] * c4 - m[2][3] * c3],
+        [-m[1][0] * s5 + m[1][2] * s2 - m[1][3] * s1,
+         m[0][0] * s5 - m[0][2] * s2 + m[0][3] * s1,
+         -m[3][0] * c5 + m[3][2] * c2 - m[3][3] * c1,
+         m[2][0] * c5 - m[2][2] * c2 + m[2][3] * c1],
+        [m[1][0] * s4 - m[1][1] * s2 + m[1][3] * s0,
+         -m[0][0] * s4 + m[0][1] * s2 - m[0][3] * s0,
+         m[3][0] * c4 - m[3][1] * c2 + m[3][3] * c0,
+         -m[2][0] * c4 + m[2][1] * c2 - m[2][3] * c0],
+        [-m[1][0] * s3 + m[1][1] * s1 - m[1][2] * s0,
+         m[0][0] * s3 - m[0][1] * s1 + m[0][2] * s0,
+         -m[3][0] * c3 + m[3][1] * c1 - m[3][2] * c0,
+         m[2][0] * c3 - m[2][1] * c1 + m[2][2] * c0],
+    ]
+    return [(inv[i][0] * vc[0] + inv[i][1] * vc[1]
+             + inv[i][2] * vc[2] + inv[i][3] * vc[3]) / det
+            for i in range(4)]

@@ -68,6 +68,48 @@ class TestCircleFitGolden:
         np.testing.assert_allclose(fits.center[1], [0.4908357, -22.15212], atol=1e-4)
         assert bool(fits.valid[0]) and bool(fits.valid[1])
 
+    def test_componentized_tail_matches_tensor_tail(self):
+        """The r05 fully-componentized eigen-chain (_fit_tail_c — no
+        (C, 4, 4) tensor anywhere) vs the tensor-form oracle, over random
+        clusters incl. degenerate (< 4 points) and near-collinear sets."""
+        rng = np.random.default_rng(0)
+        C, P = 16, 32
+        buf = np.zeros((C, P, 2))
+        counts = np.zeros(C, np.int64)
+        for c in range(C):
+            kind = c % 4
+            n = int(rng.integers(2, P))
+            if kind == 0:      # clean arc
+                th = np.sort(rng.uniform(0, 2.5, n))
+                r = rng.uniform(0.2, 2.0)
+                ctr = rng.uniform(-3, 3, 2)
+                buf[c, :n] = ctr + r * np.stack(
+                    [np.cos(th), np.sin(th)], -1)
+            elif kind == 1:    # noisy arc
+                th = np.sort(rng.uniform(0, 1.5, n))
+                buf[c, :n] = rng.uniform(-2, 2, 2) + np.stack(
+                    [np.cos(th), np.sin(th)], -1) + rng.normal(
+                        0, 0.02, (n, 2))
+            elif kind == 2:    # near-collinear (ill-conditioned)
+                t = np.sort(rng.uniform(0, 1, n))
+                buf[c, :n] = np.stack(
+                    [t, 0.5 * t + rng.normal(0, 1e-4, n)], -1)
+            else:              # random blob
+                buf[c, :n] = rng.uniform(-1, 1, (n, 2))
+            counts[c] = n
+        clusters = cl.Clusters(
+            points=jnp.asarray(buf), counts=jnp.asarray(counts),
+            valid=jnp.asarray(counts >= 3))
+        a = cf.fit_circles(clusters, componentized=True)
+        b = cf.fit_circles(clusters, componentized=False)
+        np.testing.assert_array_equal(np.asarray(a.valid),
+                                      np.asarray(b.valid))
+        va = np.asarray(a.valid)
+        np.testing.assert_allclose(np.asarray(a.center)[va],
+                                   np.asarray(b.center)[va], atol=1e-8)
+        np.testing.assert_allclose(np.asarray(a.radius)[va],
+                                   np.asarray(b.radius)[va], atol=1e-8)
+
     def test_undersized_cluster_invalid(self):
         buf = np.zeros((1, 8, 2))
         buf[0, :3] = [[0, 0], [1, 1], [2, 0]]
