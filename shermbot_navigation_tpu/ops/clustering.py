@@ -52,10 +52,13 @@ class Clusters(NamedTuple):
     valid: jnp.ndarray
 
 
-def cluster_scan(ranges, min_range, max_range,
-                 max_clusters: int = 16, max_points: int = 64,
-                 threshold: float = SPLIT_THRESHOLD) -> Clusters:
-    """Cluster one scan. ``ranges``: (n,) — ray k at body angle k*(360/n) deg."""
+def _scan_membership(ranges, min_range, max_range, max_clusters: int,
+                     threshold: float):
+    """Shared clustering front end: per-ray membership, cluster id,
+    within-cluster position, per-cluster counts, plus the wraparound
+    bookkeeping (ref :148-174). Returns
+    ``(pts, member, cid, pos, counts, num_closed, wrap_move)`` where
+    ``member``/``counts`` are BEFORE the wraparound append of ray n-1."""
     ranges = jnp.asarray(ranges)
     n = ranges.shape[0]
     dt = ranges.dtype
@@ -91,6 +94,19 @@ def cluster_scan(ranges, min_range, max_range,
     pos = jnp.sum(jnp.where(cid_hot, run, 0), axis=1)
 
     counts = jnp.sum(onehot, axis=0)
+    return pts, member, cid, pos, counts, num_closed, wrap_move
+
+
+def cluster_scan(ranges, min_range, max_range,
+                 max_clusters: int = 16, max_points: int = 64,
+                 threshold: float = SPLIT_THRESHOLD) -> Clusters:
+    """Cluster one scan. ``ranges``: (n,) — ray k at body angle k*(360/n) deg."""
+    ranges = jnp.asarray(ranges)
+    n = ranges.shape[0]
+    dt = ranges.dtype
+    idx = jnp.arange(n)
+    pts, member, cid, pos, counts, num_closed, wrap_move = _scan_membership(
+        ranges, min_range, max_range, max_clusters, threshold)
 
     # one-hot matmul into the padded buffer (drop overflows). NOT a
     # scatter (`buf.at[flat_idx].set` lowers under vmap to a SERIAL

@@ -222,6 +222,67 @@ class TestClassify:
         assert not bool(cl.classify_clusters(self._mk(pts))[0])
 
 
+class TestSegmentedDetect:
+    """r05 segment-reduction perception path vs the buffered oracle: the
+    two must agree on every detection (positions + validity + order) —
+    including the wraparound append, out-of-range gaps, and degenerate
+    clusters."""
+
+    def _ab(self, ranges, min_r=0.05, max_r=1.0):
+        from shermbot_navigation_tpu.ops import landmark_detection as ld
+        a = ld.detect_landmarks(ranges, min_r, max_r, segmented=True)
+        b = ld.detect_landmarks(ranges, min_r, max_r, segmented=False)
+        np.testing.assert_array_equal(np.asarray(a.valid),
+                                      np.asarray(b.valid))
+        va = np.asarray(a.valid)
+        np.testing.assert_allclose(np.asarray(a.positions)[va],
+                                   np.asarray(b.positions)[va], atol=1e-5)
+
+    def test_random_scans(self):
+        rng = np.random.default_rng(3)
+        for _ in range(12):
+            # structured scans: background out-of-range + a few arcs
+            ranges = np.full(360, 5.0)
+            for _ in range(int(rng.integers(1, 7))):
+                c = int(rng.integers(0, 360))
+                w = int(rng.integers(3, 25))
+                r0 = rng.uniform(0.1, 0.95)
+                span = (np.arange(c - w // 2, c + w // 2) % 360)
+                ranges[span] = r0 + rng.normal(0, 0.01, span.shape[0])
+            self._ab(jnp.asarray(ranges, jnp.float64))
+
+    def test_wraparound_cluster(self):
+        # one arc straddling ray 0 (the ref :169-174 single-point move)
+        ranges = np.full(360, 5.0)
+        span = np.arange(-8, 9) % 360
+        th = np.deg2rad(np.arange(-8, 9).astype(np.float64))
+        # points on a circle of radius .04 centered 0.5m ahead
+        d = 0.5 * np.cos(th) - np.sqrt(
+            np.maximum(0.04 ** 2 - (0.5 * np.sin(th)) ** 2, 0.0))
+        ranges[span] = d
+        self._ab(jnp.asarray(ranges, jnp.float64))
+
+    def test_all_out_of_range(self):
+        self._ab(jnp.full((360,), 5.0, jnp.float64))
+
+    def test_f32_matches_too(self):
+        rng = np.random.default_rng(9)
+        ranges = np.full(360, 5.0, np.float32)
+        for c in (40, 130, 270):
+            span = np.arange(c - 6, c + 7) % 360
+            ranges[span] = 0.6 + rng.normal(0, 0.005, 13)
+        from shermbot_navigation_tpu.ops import landmark_detection as ld
+        a = ld.detect_landmarks(jnp.asarray(ranges), 0.05, 1.0,
+                                segmented=True)
+        b = ld.detect_landmarks(jnp.asarray(ranges), 0.05, 1.0,
+                                segmented=False)
+        np.testing.assert_array_equal(np.asarray(a.valid),
+                                      np.asarray(b.valid))
+        va = np.asarray(a.valid)
+        np.testing.assert_allclose(np.asarray(a.positions)[va],
+                                   np.asarray(b.positions)[va], atol=1e-3)
+
+
 class TestDetect:
     def test_synthetic_tube_detected(self):
         # one tube of radius 0.0381 at (0.5, 0.0) seen from the origin:
