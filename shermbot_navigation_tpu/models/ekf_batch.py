@@ -440,7 +440,7 @@ def known_association_step(config: EKFConfig, st: BatchState, twist, zs,
         valid = valid & ~stopped & ~overflow & (j >= 0)
         stopped = stopped | overflow
         j_safe = jnp.clip(j, 0, N - 1)
-        seen_j = jnp.sum(
+        seen_j = jnp.any(
             jnp.where(jnp.arange(N)[:, None] == j_safe[None, :],
                       s.seen, False), axis=0)
         is_new = valid & ~seen_j

@@ -137,6 +137,30 @@ def test_tick_parity(known):
     np.testing.assert_allclose(got.cov, vst.cov, atol=1e-6)
 
 
+def test_gated_off_world_stays_finite_f32():
+    """A gated-OFF world whose slot is an unseen INT_MAX-prior landmark
+    sitting ~on top of the robot produces an f32-OVERFLOWING psi
+    (det = inf - inf = NaN) in the unused update branch. The select form
+    must discard that junk. (Pin for the r05 fused-gating negative,
+    r05_fused_step_ab.json: gating the update by MULTIPLICATION
+    propagated the NaN*0; the branch-select form is the production
+    lowering.)"""
+    cfg = ekf.EKFConfig(num_landmarks=2)
+    B = 2
+    st = ekf_batch.init(cfg, B, dtype=jnp.float32)
+    tw = jnp.zeros((B, 3), jnp.float32)
+    zs = jnp.full((B, 1, 2), 0.5, jnp.float32)
+    ids = jnp.zeros((B, 1), jnp.int32)
+    valid = jnp.array([[True], [False]])      # world 1 fully gated off
+    Q = jnp.diag(jnp.array([1e-4] * 3, jnp.float32))
+    R = jnp.diag(jnp.array([1e-3] * 2, jnp.float32))
+    out = ekf_batch.known_association_step(cfg, st, tw, zs, valid, ids,
+                                           Q, R)
+    assert np.isfinite(np.asarray(out.mean)).all()
+    assert np.isfinite(np.asarray(out.cov)).all()
+    assert int(out.n_seen[1]) == 0
+
+
 @pytest.mark.parametrize("scenario", ["course12_noisy", "loop5_known"])
 def test_driver_lanes_matches_vmapped(scenario):
     """End-to-end through the production wiring: run_scenario_batch_lanes
