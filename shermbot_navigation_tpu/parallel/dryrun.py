@@ -131,7 +131,32 @@ def run(n_devices: int) -> None:
     jax.block_until_ready(refined)
     assert bool(jnp.isfinite(refined.poses).all())
 
+    # batch-on-lanes DP engine through the scenario driver (r05 production
+    # path for configs 1-3) — incl. the segmented perception stage via the
+    # lidar scenario
+    from ..pipeline.config import get_scenario as _gs
+    from ..pipeline.driver import run_scenario_batch_lanes
+    for scn_name in ("loop5_known", "lidar20_full"):
+        o = run_scenario_batch_lanes(_gs(scn_name),
+                                     jax.random.split(jax.random.PRNGKey(1),
+                                                      2), 6)
+        jax.block_until_ready(o)
+        assert bool(jnp.isfinite(o.slam_pose).all()), scn_name
+
+    # single-robot serving tick (deferred whole-tick kernels in interpret
+    # mode off-TPU; pipeline/serving.py)
+    from ..pipeline import serving as _srv
+    stick = _srv.make_serving_step(kcfg, M, known=True, donate=False,
+                                   seq_kernel=True, seq_interpret=interp,
+                                   grid_kernel=True,
+                                   kernel_interpret=interp)
+    sst = blocked_ekf.init(kcfg, 1)
+    sst = stick(sst, twist[0], zs[0], valid[0], ids[0], Q, R)
+    jax.block_until_ready(sst)
+    assert int(sst.n_seen[0]) == M
+
     print(f"dryrun_multichip OK: mesh={dict(m.shape)} B={B} N={N} M={M} "
           f"(blocked known/unknown EKF + deferred grid-kernel[interpret "
           f"Nk={Nk}] + seq-scan-kernel[interpret, known+unknown] + PP "
-          f"staged pipeline + pose graph + sharded Schur)")
+          f"staged pipeline + pose graph + sharded Schur + lanes DP engine "
+          f"[loop5+lidar] + serving tick[interpret kernels])")
