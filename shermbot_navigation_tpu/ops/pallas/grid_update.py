@@ -82,9 +82,11 @@ def grid_shapes_supported(n_local: int, n: int) -> bool:
     return n % 128 == 0 and n_local % 8 == 0
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "tr_cap",
+                                             "tc_cap"))
 def fused_grid_update(cov, a, b, crow, ccol, rowt, colt,
-                      interpret: bool = False):
+                      interpret: bool = False, tr_cap: int = 256,
+                      tc_cap: int = 2048):
     """One fused pass: replay init overwrites, subtract the rank-2M term.
 
     cov  (2, 2, Nl, N) f32  local grid rows, component planes
@@ -104,8 +106,11 @@ def fused_grid_update(cov, a, b, crow, ccol, rowt, colt,
     M2 = a.shape[2]
     M = M2 // 2
     assert NL % 2 == 0 and N % 2 == 0, (NL, N)
-    TR = _pick_tile(NL, 256)
-    TC = _pick_tile(N, 2048)
+    # default caps (256, 2048) measured best in the r05 tile sweep
+    # (r05_grid_tiles.json): larger row tiles need the raised scoped-vmem
+    # limit and did NOT beat the default in either the VMEM or HBM regime
+    TR = _pick_tile(NL, tr_cap)
+    TC = _pick_tile(N, tc_cap)
     grid = (2, 2, NL // TR, N // TC)
 
     return pl.pallas_call(
@@ -135,6 +140,14 @@ def fused_grid_update(cov, a, b, crow, ccol, rowt, colt,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(cov.shape, cov.dtype),
         input_output_aliases={0: 0},
+        # tiles above the 16 MB Mosaic scoped-vmem default (in+out,
+        # double-buffered, plus the operand strips) need the raised
+        # limit; v5e has 128 MB VMEM. The margin matters: an exactly-16MB
+        # tile estimate still overflows by the strip buffers (measured
+        # 16.25 MB at N=8192/tr=512, r05_grid_tiles sweep)
+        compiler_params=(pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+            if TR * TC * 4 * 4 >= 8 * 1024 * 1024 else None),
         interpret=interpret,
     )(cov, a, b, crow, ccol, rowt.reshape(NL, 1), colt.reshape(1, N))
 
