@@ -50,9 +50,12 @@ def main():
 
     scn = get_scenario(SCENARIO)
     keys = jax.random.split(jax.random.PRNGKey(0), B)
-    log(f"lowering {SCENARIO} B={B} steps={scn.steps} ...")
+    engine = os.environ.get("HLO_ENGINE", "vmapped")
+    run = (driver.run_scenario_batch_lanes if engine == "lanes"
+           else driver.run_scenario_batch)
+    log(f"lowering {SCENARIO} B={B} steps={scn.steps} engine={engine} ...")
     # run_scenario_batch wraps a jitted rollout; lower the same callable
-    fn = jax.jit(lambda ks: driver.run_scenario_batch(scn, ks))
+    fn = jax.jit(lambda ks: run(scn, ks))
     lowered = fn.lower(keys)
     log("compiling ...")
     compiled = lowered.compile()
