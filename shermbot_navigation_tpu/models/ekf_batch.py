@@ -224,10 +224,11 @@ def init_landmark(config: EKFConfig, st: BatchState, z, j) -> BatchState:
     return st._replace(mean=mean)
 
 
-def _analytic_init_cov(st: BatchState, z, j, R) -> jnp.ndarray:
-    """First-observation covariance blocks, batch-trailing mask arithmetic
-    (the exact infinite-prior limit; see ekf_slam._analytic_init_cov)."""
-    mean, cov = st.mean, st.cov
+def _init_cov_comps(mean, cov, z, R):
+    """First-observation covariance ingredients: ``cross`` (two (D, B)
+    rows) and the 2x2 ``block`` components — depend only on theta, z, R
+    and the CURRENT cov (not on the init'd mean slot). Shared by the
+    dynamic mask-arithmetic writer and the static-slice writer."""
     dt = mean.dtype
     z = jnp.asarray(z, dt)
     R = jnp.asarray(R, dt)
@@ -253,6 +254,15 @@ def _analytic_init_cov(st: BatchState, z, j, R) -> jnp.ndarray:
             + Gz[p][1] * (R[1, 0] * Gz[q][0] + R[1, 1] * Gz[q][1])
             for q in range(2)] for p in range(2)]
     block = [[gxc[p][q] + gzr[p][q] for q in range(2)] for p in range(2)]
+    return cross, block
+
+
+def _analytic_init_cov(st: BatchState, z, j, R) -> jnp.ndarray:
+    """First-observation covariance blocks, batch-trailing mask arithmetic
+    (the exact infinite-prior limit; see ekf_slam._analytic_init_cov)."""
+    mean, cov = st.mean, st.cov
+    dt = mean.dtype
+    cross, block = _init_cov_comps(mean, cov, z, R)
 
     m0, m1 = _slot_masks(cov.shape[0], j, dt)
     onec = jnp.asarray(1.0, dt)
