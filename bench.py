@@ -25,9 +25,10 @@ BASELINE_BIN = os.path.join(BASELINE_DIR, "baseline")
 
 SCENARIO = "loop5_known"
 # 2048 saturated the vmapped engine (r03/r04); the lanes engine keeps
-# scaling through 8192 (r05_dp_sweep.json: 9.8M @ 2048 -> 15.9M @ 8192),
-# so the headline batch follows the chip's best point.
-BATCH = int(os.environ.get("BENCH_BATCH", "8192"))
+# scaling (r05_dp_sweep.json: 9.8M @ 2048 -> 15.9M @ 8192 -> 17.7M @
+# 16384, flattening), so the headline batch follows the chip's best
+# point.
+BATCH = int(os.environ.get("BENCH_BATCH", "16384"))
 # "lanes" = the batch-trailing engine (models/ekf_batch.py) — measured
 # 1.36x the vmapped engine on this workload on-chip (r05_headline.json);
 # "vmapped" keeps the r04 path for A/Bs.
